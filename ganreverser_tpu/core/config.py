@@ -1,0 +1,209 @@
+"""Typed configs replacing the reference's per-script ``lapp`` flag blocks.
+
+One dataclass per entry point, same flags and defaults as the reference
+(train.lua:15-49, train_r.lua:12-29, apply_r.lua:13-23, pretrain_g.lua:12-35,
+pretrain_with_previous_net.lua:12-37, sample.lua:9-24). Configs serialize to
+JSON and travel inside checkpoints, preserving the reference's
+"config travels with the checkpoint" contract (train_r.lua:71-75,
+apply_r.lua:65-69).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from typing import Any, Type, TypeVar
+
+T = TypeVar("T", bound="Config")
+
+OPT_METHODS = ("sgd", "adagrad", "adadelta", "adamax", "adam", "rmsprop")
+NOISE_METHODS = ("normal", "uniform")
+COLOR_SPACES = ("rgb", "yuv", "hsl", "y")
+
+
+@dataclass
+class Config:
+    """Base: JSON round-trip + argparse wiring shared by all entry points."""
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls: Type[T], d: dict[str, Any]) -> T:
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_json(cls: Type[T], s: str) -> T:
+        return cls.from_dict(json.loads(s))
+
+    @classmethod
+    def parser(cls: Type[T], description: str = "") -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(description=description)
+        for f in fields(cls):
+            arg = "--" + f.name
+            if f.type in ("bool", bool) or isinstance(f.default, bool):
+                p.add_argument(arg, action="store_true", default=f.default,
+                               help=f.metadata.get("help", ""))
+            else:
+                typ = type(f.default) if f.default is not None else str
+                p.add_argument(arg, type=typ, default=f.default,
+                               help=f.metadata.get("help", ""))
+        return p
+
+    @classmethod
+    def from_args(cls: Type[T], argv=None, description: str = "") -> T:
+        ns = cls.parser(description).parse_args(argv)
+        return cls(**vars(ns))
+
+    # -- shared geometry helpers -------------------------------------------
+    def img_dims(self) -> tuple[int, int, int]:
+        """(C, H, W) — channels collapse to 1 for the 'y' color space
+        (train.lua:71-75)."""
+        c = 1 if getattr(self, "colorSpace", "rgb") == "y" else 3
+        return (c, getattr(self, "height", 32), getattr(self, "width", 32))
+
+
+def _f(default, help=""):
+    return field(default=default, metadata={"help": help})
+
+
+@dataclass
+class GanConfig(Config):
+    """Flags of train.lua:15-49 (defaults identical)."""
+    save: str = _f("logs", "subdirectory to save logs")
+    saveFreq: int = _f(30, "save every saveFreq epochs")
+    epochs: int = _f(-1, "stop after that many epochs (<0 = run forever). NOTE: the reference's check is inverted and stops immediately (train.lua:208); fixed here, documented in SURVEY.md")
+    network: str = _f("", "checkpoint of a previous run to continue")
+    G_pretrained_dir: str = _f("logs", "directory with pretrained networks")
+    nopretraining: bool = _f(False, "deactivate loading of pretrained networks")
+    noplot: bool = _f(False, "disable plots/artifacts while training")
+    D_sgd_lr: float = _f(0.02, "D SGD learning rate")
+    G_sgd_lr: float = _f(0.02, "G SGD learning rate")
+    D_sgd_momentum: float = _f(0.0, "D SGD momentum")
+    G_sgd_momentum: float = _f(0.0, "G SGD momentum")
+    batchSize: int = _f(32, "batch size")
+    N_epoch: int = _f(30, "number of batches per epoch")
+    G_L1: float = _f(0.0, "L1 penalty on the weights of G")
+    G_L2: float = _f(0.0, "L2 penalty on the weights of G")
+    D_L1: float = _f(0.0, "L1 penalty on the weights of D")
+    D_L2: float = _f(1e-4, "L2 penalty on the weights of D")
+    D_iterations: int = _f(1, "iterations to optimize D for, per batch")
+    G_iterations: int = _f(1, "iterations to optimize G for, per batch")
+    D_clamp: float = _f(1.0, "clamp D gradients to +/- this")
+    G_clamp: float = _f(5.0, "clamp G gradients to +/- this")
+    D_optmethod: str = _f("adam", "sgd|adagrad|adadelta|adamax|adam|rmsprop")
+    G_optmethod: str = _f("adam", "sgd|adagrad|adadelta|adamax|adam|rmsprop")
+    noiseDim: int = _f(32, "dimensionality of the noise vector")
+    noiseMethod: str = _f("normal", "normal|uniform")
+    seed: int = _f(1, "RNG seed")
+    colorSpace: str = _f("rgb", "rgb|yuv|hsl|y")
+    height: int = _f(32, "height of the training images")
+    width: int = _f(32, "width of the training images")
+    dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    # TPU-native additions (no reference equivalent):
+    mesh_data: int = _f(0, "data-parallel mesh axis size (0 = all devices)")
+    mesh_model: int = _f(1, "tensor-parallel mesh axis size")
+    compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
+
+
+@dataclass
+class RConfig(Config):
+    """Flags of train_r.lua:12-29 (defaults identical)."""
+    save: str = _f("logs", "subdirectory to save logs")
+    batchSize: int = _f(32, "batch size")
+    nbBatches: int = _f(-1, "max number of batches, <0 is infinite")
+    noplot: bool = _f(False, "disable plots/artifacts")
+    seed: int = _f(1, "RNG seed")
+    saveFreq: int = _f(2000, "save every saveFreq batches")
+    R_clamp: float = _f(1.0, "clamp R gradients to +/- this")
+    R_L1: float = _f(0.0, "L1 penalty on the weights of R")
+    R_L2: float = _f(1e-4, "L2 penalty on the weights of R")
+    G: str = _f("logs/adversarial", "checkpoint of the trained G")
+    cont: str = _f("", "R checkpoint to continue from (--continue upstream)")
+    dataset: str = _f("NONE", "directory with *.jpg images (configured but unused for batches; R trains on (G(z), z) pairs, train_r.lua:138-139)")
+    fixer: bool = _f(False, "train the error fixer (always-on input dropout)")
+    # inherited from the G checkpoint at load time (train_r.lua:71-75):
+    noiseDim: int = _f(32, "")
+    noiseMethod: str = _f("normal", "")
+    colorSpace: str = _f("rgb", "")
+    height: int = _f(32, "")
+    width: int = _f(32, "")
+    mesh_data: int = _f(0, "data-parallel mesh axis size (0 = all devices)")
+    mesh_model: int = _f(1, "tensor-parallel mesh axis size")
+    compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
+
+
+@dataclass
+class ApplyConfig(Config):
+    """Flags of apply_r.lua:13-23 plus the new refinement mode."""
+    save: str = _f("logs", "directory with checkpoints / for outputs")
+    G: str = _f("logs/adversarial", "G checkpoint")
+    R: str = _f("", "R checkpoint (default derived from G's geometry)")
+    R_fixer: str = _f("", "fixer-R checkpoint")
+    writeto: str = _f("apply_r_results", "output directory for images")
+    batchSize: int = _f(32, "inference batch size")
+    N: int = _f(10000, "number of faces to generate + invert (apply_r.lua:145)")
+    clusters: int = _f(20, "kmeans cluster count (apply_r.lua:158)")
+    kmeans_iters: int = _f(15, "kmeans iterations (apply_r.lua:158)")
+    needles: int = _f(5, "similarity-search needle count (apply_r.lua:169)")
+    anomalies_n: int = _f(1024, "images scored for anomalies (apply_r.lua:187)")
+    anomalies_quantile: float = _f(0.15, "anomaly threshold quantile")
+    seed: int = _f(1, "RNG seed")
+    refine_steps: int = _f(0, "gradient-based latent refinement steps (new; 0 = off)")
+    refine_lr: float = _f(0.05, "refinement learning rate (adam on z)")
+    compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
+
+
+@dataclass
+class PretrainGConfig(Config):
+    """Flags of pretrain_g.lua:12-35."""
+    save: str = _f("logs", "subdirectory to save logs")
+    batchSize: int = _f(32, "batch size")
+    epochs: int = _f(50, "number of epochs")
+    N_epoch: int = _f(100, "batches per epoch")
+    seed: int = _f(1, "RNG seed")
+    noiseDim: int = _f(32, "dimensionality of the bottleneck")
+    noiseMethod: str = _f("normal", "normal|uniform")
+    colorSpace: str = _f("rgb", "rgb|yuv|hsl|y")
+    height: int = _f(32, "image height")
+    width: int = _f(32, "image width")
+    dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    lr: float = _f(0.001, "adam learning rate")
+    compute_dtype: str = _f("float32", "compute dtype")
+
+
+@dataclass
+class PretrainPrevConfig(Config):
+    """Flags of pretrain_with_previous_net.lua:12-37."""
+    save: str = _f("logs", "subdirectory to save logs")
+    oldNetwork: str = _f("logs/adversarial", "previous G+D checkpoint to distill from")
+    batchSize: int = _f(32, "batch size")
+    epochs: int = _f(50, "number of epochs")
+    N_epoch: int = _f(100, "batches per epoch")
+    seed: int = _f(1, "RNG seed")
+    noiseDim: int = _f(32, "new noise dimensionality")
+    noiseMethod: str = _f("normal", "normal|uniform")
+    colorSpace: str = _f("rgb", "new color space")
+    height: int = _f(32, "new image height")
+    width: int = _f(32, "new image width")
+    dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    lr: float = _f(0.001, "adam learning rate")
+    compute_dtype: str = _f("float32", "compute dtype")
+
+
+@dataclass
+class SampleConfig(Config):
+    """Flags of sample.lua:9-24."""
+    save: str = _f("logs", "directory with checkpoints")
+    network: str = _f("logs/adversarial", "G+D checkpoint")
+    writeto: str = _f("samples", "output directory")
+    batchSize: int = _f(32, "inference batch size")
+    neighbours: bool = _f(False, "find nearest training-set neighbours of best samples")
+    dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    seed: int = _f(1, "RNG seed")
+    compute_dtype: str = _f("float32", "compute dtype")

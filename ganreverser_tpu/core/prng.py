@@ -1,0 +1,29 @@
+"""PRNG-key discipline.
+
+The reference seeds three RNGs (math.randomseed / torch.manualSeed /
+cutorch.manualSeed, train.lua:58-59,98). Here a single ``jax.random`` key is
+the only source of randomness; everything else folds in from it.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def seed_key(seed: int) -> jax.Array:
+    """The framework-wide root key (replaces the reference's triple seeding)."""
+    return jax.random.PRNGKey(seed)
+
+
+def noise_inputs(key: jax.Array, n: int, noise_dim: int, method: str = "normal",
+                 dtype=jnp.float32) -> jax.Array:
+    """Sample (n, noise_dim) latent vectors.
+
+    Mirrors NN_UTILS.createNoiseInputs (utils/nn_utils.lua:39-51):
+    ``normal`` ~ N(0, 1), ``uniform`` ~ U(-1, 1).
+    """
+    if method == "normal":
+        return jax.random.normal(key, (n, noise_dim), dtype)
+    if method == "uniform":
+        return jax.random.uniform(key, (n, noise_dim), dtype, -1.0, 1.0)
+    raise ValueError(f"Unknown noise method {method!r}")

@@ -1,0 +1,240 @@
+"""The six reference optimizers, implemented as pure JAX gradient transforms.
+
+The reference dispatches to torch/optim's C-backed sgd/adagrad/adadelta/
+adamax/adam/rmsprop (adversarial.lua:147-188, train_r.lua:170). Torch
+semantics and *defaults* are reproduced (the reference initializes every
+optimizer state empty, train.lua:183-193, so torch defaults apply — except
+sgd, which gets the CLI lr/momentum).
+
+Interface (optax-style, works on arbitrary pytrees):
+    opt = adam()
+    state = opt.init(params)
+    updates, state = opt.update(grads, state, params)
+    params = apply_updates(params, updates)
+
+All state lives in pytrees, so optimizer state checkpoints and shards like
+parameters do — an improvement over the reference, which silently drops
+optimizer state on resume (train.lua:183-193, SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Optimizer(NamedTuple):
+    init: Callable[[Any], Any]
+    update: Callable[[Any, Any, Any], tuple[Any, Any]]
+
+
+def apply_updates(params, updates):
+    return jax.tree_util.tree_map(lambda p, u: (p + u).astype(p.dtype),
+                                  params, updates)
+
+
+def _zeros_like(params):
+    return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+def sgd(lr: float = 1e-3, momentum: float = 0.0, dampening: float = 0.0,
+        weight_decay: float = 0.0, nesterov: bool = False,
+        lr_decay: float = 0.0) -> Optimizer:
+    """torch optim.sgd. The reference passes lr/momentum from the CLI
+    (train.lua:189-192; defaults lr=0.02, momentum=0)."""
+
+    def init(params):
+        return {"step": jnp.zeros((), jnp.int32), "mom": _zeros_like(params)}
+
+    def update(grads, state, params):
+        step = state["step"]
+        clr = lr / (1.0 + step.astype(jnp.float32) * lr_decay)
+
+        def one(g, p, m):
+            if weight_decay != 0.0:
+                g = g + weight_decay * p
+            if momentum != 0.0:
+                m = momentum * m + (1.0 - dampening) * g
+                d = g + momentum * m if nesterov else m
+            else:
+                d = g
+            return -clr * d, m
+
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_m = jax.tree_util.tree_leaves(state["mom"])
+        outs = [one(g, p, m) for g, p, m in zip(flat_g, flat_p, flat_m)]
+        updates = tdef.unflatten([o[0] for o in outs])
+        new_mom = tdef.unflatten([o[1] for o in outs])
+        return updates, {"step": step + 1, "mom": new_mom}
+
+    return Optimizer(init, update)
+
+
+def adagrad(lr: float = 1e-2, lr_decay: float = 0.0,
+            weight_decay: float = 0.0, eps: float = 1e-10) -> Optimizer:
+    """torch optim.adagrad (default lr 1e-2)."""
+
+    def init(params):
+        return {"step": jnp.zeros((), jnp.int32), "acc": _zeros_like(params)}
+
+    def update(grads, state, params):
+        step = state["step"]
+        clr = lr / (1.0 + step.astype(jnp.float32) * lr_decay)
+
+        def one(g, p, a):
+            if weight_decay != 0.0:
+                g = g + weight_decay * p
+            a = a + g * g
+            return -clr * g / (jnp.sqrt(a) + eps), a
+
+        new_acc = jax.tree_util.tree_map(
+            lambda g, a: a + g * g, grads, state["acc"])
+        updates = jax.tree_util.tree_map(
+            lambda g, p, a: one(g, p, a)[0], grads, params, state["acc"])
+        return updates, {"step": step + 1, "acc": new_acc}
+
+    return Optimizer(init, update)
+
+
+def adadelta(rho: float = 0.9, eps: float = 1e-6,
+             weight_decay: float = 0.0) -> Optimizer:
+    """torch optim.adadelta (rho=0.9, eps=1e-6, no lr)."""
+
+    def init(params):
+        return {"acc_g": _zeros_like(params), "acc_d": _zeros_like(params)}
+
+    def update(grads, state, params):
+        def one(g, p, ag, ad):
+            if weight_decay != 0.0:
+                g = g + weight_decay * p
+            ag = rho * ag + (1.0 - rho) * g * g
+            d = -jnp.sqrt(ad + eps) / jnp.sqrt(ag + eps) * g
+            ad = rho * ad + (1.0 - rho) * d * d
+            return d, ag, ad
+
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_ag = jax.tree_util.tree_leaves(state["acc_g"])
+        flat_ad = jax.tree_util.tree_leaves(state["acc_d"])
+        outs = [one(g, p, ag, ad)
+                for g, p, ag, ad in zip(flat_g, flat_p, flat_ag, flat_ad)]
+        return (tdef.unflatten([o[0] for o in outs]),
+                {"acc_g": tdef.unflatten([o[1] for o in outs]),
+                 "acc_d": tdef.unflatten([o[2] for o in outs])})
+
+    return Optimizer(init, update)
+
+
+def adam(lr: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
+         eps: float = 1e-8, weight_decay: float = 0.0) -> Optimizer:
+    """torch optim.adam (lr=1e-3, betas 0.9/0.999, eps=1e-8) — the default
+    optimizer for D, G (train.lua:37-38) and R (train_r.lua:170)."""
+
+    def init(params):
+        return {"step": jnp.zeros((), jnp.int32),
+                "m": _zeros_like(params), "v": _zeros_like(params)}
+
+    def update(grads, state, params):
+        step = state["step"] + 1
+        t = step.astype(jnp.float32)
+        # torch formulation: stepSize = lr * sqrt(1-b2^t) / (1-b1^t)
+        step_size = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+
+        def one(g, p, m, v):
+            if weight_decay != 0.0:
+                g = g + weight_decay * p
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            return -step_size * m / (jnp.sqrt(v) + eps), m, v
+
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_m = jax.tree_util.tree_leaves(state["m"])
+        flat_v = jax.tree_util.tree_leaves(state["v"])
+        outs = [one(g, p, m, v)
+                for g, p, m, v in zip(flat_g, flat_p, flat_m, flat_v)]
+        return (tdef.unflatten([o[0] for o in outs]),
+                {"step": step,
+                 "m": tdef.unflatten([o[1] for o in outs]),
+                 "v": tdef.unflatten([o[2] for o in outs])})
+
+    return Optimizer(init, update)
+
+
+def adamax(lr: float = 2e-3, b1: float = 0.9, b2: float = 0.999,
+           eps: float = 1e-38, weight_decay: float = 0.0) -> Optimizer:
+    """torch optim.adamax (lr=2e-3, eps=1e-38; infinity-norm variant)."""
+
+    def init(params):
+        return {"step": jnp.zeros((), jnp.int32),
+                "m": _zeros_like(params), "u": _zeros_like(params)}
+
+    def update(grads, state, params):
+        step = state["step"] + 1
+        t = step.astype(jnp.float32)
+        step_size = lr / (1.0 - b1 ** t)
+
+        def one(g, p, m, u):
+            if weight_decay != 0.0:
+                g = g + weight_decay * p
+            m = b1 * m + (1.0 - b1) * g
+            u = jnp.maximum(b2 * u, jnp.abs(g) + eps)
+            return -step_size * m / u, m, u
+
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_m = jax.tree_util.tree_leaves(state["m"])
+        flat_u = jax.tree_util.tree_leaves(state["u"])
+        outs = [one(g, p, m, u)
+                for g, p, m, u in zip(flat_g, flat_p, flat_m, flat_u)]
+        return (tdef.unflatten([o[0] for o in outs]),
+                {"step": step,
+                 "m": tdef.unflatten([o[1] for o in outs]),
+                 "u": tdef.unflatten([o[2] for o in outs])})
+
+    return Optimizer(init, update)
+
+
+def rmsprop(lr: float = 1e-2, alpha: float = 0.99, eps: float = 1e-8,
+            weight_decay: float = 0.0) -> Optimizer:
+    """torch optim.rmsprop (lr=1e-2, alpha=0.99, eps=1e-8)."""
+
+    def init(params):
+        return {"ms": _zeros_like(params)}
+
+    def update(grads, state, params):
+        def one(g, p, ms):
+            if weight_decay != 0.0:
+                g = g + weight_decay * p
+            ms = alpha * ms + (1.0 - alpha) * g * g
+            return -lr * g / (jnp.sqrt(ms) + eps), ms
+
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_ms = jax.tree_util.tree_leaves(state["ms"])
+        outs = [one(g, p, ms) for g, p, ms in zip(flat_g, flat_p, flat_ms)]
+        return (tdef.unflatten([o[0] for o in outs]),
+                {"ms": tdef.unflatten([o[1] for o in outs])})
+
+    return Optimizer(init, update)
+
+
+def make_optimizer(method: str, *, sgd_lr: float = 0.02,
+                   sgd_momentum: float = 0.0) -> Optimizer:
+    """The adversarial.lua:147-188 dispatch table. Only sgd takes CLI
+    hyperparameters (train.lua:189-192); the rest use torch defaults."""
+    if method == "sgd":
+        return sgd(lr=sgd_lr, momentum=sgd_momentum)
+    if method == "adagrad":
+        return adagrad()
+    if method == "adadelta":
+        return adadelta()
+    if method == "adamax":
+        return adamax()
+    if method == "adam":
+        return adam()
+    if method == "rmsprop":
+        return rmsprop()
+    raise ValueError(f"Unknown optimizer method {method!r}")
