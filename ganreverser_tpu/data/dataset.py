@@ -1,0 +1,107 @@
+"""Image directory pipeline — dataset.lua, host-side (PIL + numpy), NHWC.
+
+Differences from the reference, by design:
+* returns whole NHWC float32 arrays (device-friendly) instead of per-image
+  tables with metatables;
+* decoding is the host hot loop (dataset.lua:148-151's image.load/scale);
+  batches then move to device via the prefetcher (data/prefetch.py);
+* 'synthetic' as a dataset directory selects the built-in procedural face
+  generator so every pipeline runs without real data.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .colorspace import rgb_to_colorspace
+from .synthetic import synthetic_faces
+
+
+def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
+    """dataset.loadPaths (dataset.lua:67-93): all files matching the
+    extension, sorted for reproducibility; errors when a directory yields
+    nothing."""
+    files: List[str] = []
+    for d in dirs:
+        for name in os.listdir(d):
+            if name.endswith(ext):
+                files.append(os.path.join(d, name))
+        files.sort()
+        if not files:
+            raise FileNotFoundError(
+                f"given directory doesn't contain any files of type: {ext}")
+    return files
+
+
+def _decode_resize(path: str, height: int, width: int) -> np.ndarray:
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if im.size != (width, height):
+            im = im.resize((width, height), Image.BILINEAR)
+        return np.asarray(im, np.float32) / 255.0
+
+
+class Dataset:
+    """The dataset.lua module as an object (its setters become ctor args)."""
+
+    def __init__(self, dirs: Sequence[str], *, height: int = 32,
+                 width: int = 32, colorspace: str = "rgb",
+                 file_extension: str = "jpg", seed: int = 1):
+        self.dirs = list(dirs)
+        self.height = height
+        self.width = width
+        self.colorspace = colorspace
+        self.file_extension = file_extension
+        self._rng = np.random.default_rng(seed)
+        self._paths: Optional[List[str]] = None
+        self.synthetic = len(self.dirs) == 1 and self.dirs[0] == "synthetic"
+
+    @property
+    def paths(self) -> List[str]:
+        if self._paths is None:
+            self._paths = scan_image_paths(self.dirs, self.file_extension)
+        return self._paths
+
+    def size(self) -> int:
+        return 100000 if self.synthetic else len(self.paths)
+
+    def _finish(self, images: np.ndarray) -> np.ndarray:
+        return rgb_to_colorspace(images, self.colorspace)
+
+    def load_images(self, start_at: int, count: int) -> np.ndarray:
+        """dataset.loadImages (dataset.lua:99-131): sequential, 0-based
+        start index (the reference is 1-based)."""
+        if self.synthetic:
+            return self._finish(synthetic_faces(
+                count, self.height, self.width,
+                np.random.default_rng(start_at)))
+        n = min(count, len(self.paths) - start_at)
+        imgs = np.stack([
+            _decode_resize(self.paths[start_at + i], self.height, self.width)
+            for i in range(n)])
+        return self._finish(imgs)
+
+    def load_random_images(self, count: int) -> np.ndarray:
+        """dataset.loadRandomImages (dataset.lua:137-173): a fresh random
+        permutation per call, count capped at the dataset size."""
+        if self.synthetic:
+            return self._finish(synthetic_faces(
+                count, self.height, self.width, self._rng))
+        perm = self._rng.permutation(len(self.paths))
+        n = min(count, len(perm))
+        imgs = np.stack([
+            _decode_resize(self.paths[perm[i]], self.height, self.width)
+            for i in range(n)])
+        return self._finish(imgs)
+
+
+def normalize_images(images: np.ndarray):
+    """NN_UTILS.normalize (nn_utils.lua:324-379): map [0,1] -> [-1,1], clamp;
+    returns the reference's dummy (0.5, 0.5)."""
+    images *= 2.0
+    images -= 1.0
+    np.clip(images, -1.0, 1.0, out=images)
+    return 0.5, 0.5

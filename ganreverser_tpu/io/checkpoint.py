@@ -1,0 +1,146 @@
+"""Checkpointing — the §3.6 cross-script contract, pytree-native.
+
+Replaces torch.save of whole serialized module trees (train.lua:241-257)
+with a directory of (manifest.json + arrays.npz):
+
+* the config travels with the checkpoint and downstream scripts trust it
+  (train_r.lua:71-75, apply_r.lua:65-69);
+* optimizer state IS saved — improving on the reference, which resets adam
+  moments on resume (train.lua:183-193, SURVEY.md §5.4);
+* before overwrite, the previous checkpoint is renamed ``<name>.old``
+  (train.lua:250-252) and keep-N retention is available;
+* filename conventions mirror the reference
+  (``r_<C>x<H>x<W>_nd<z>_<method>[_fixer]`` etc., train_r.lua:232).
+
+The reference's prepareNetworkForSave buffer-shrinking (nn_utils.lua:395-415)
+has no equivalent here: pure pytrees carry no temp buffers.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+_LEAF = "@npz:"
+
+
+def _encode(tree, arrays: dict, prefix: str):
+    """Recursively encode a pytree into a JSON skeleton + npz array dict."""
+    if isinstance(tree, dict):
+        return {k: _encode(v, arrays, f"{prefix}/{k}") for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        enc = [_encode(v, arrays, f"{prefix}/{i}") for i, v in enumerate(tree)]
+        return {"__tuple__": enc} if isinstance(tree, tuple) else enc
+    if tree is None or isinstance(tree, (bool, int, float, str)):
+        return tree
+    arr = np.asarray(tree)
+    key = prefix.lstrip("/") or "root"
+    arrays[key] = arr
+    return _LEAF + key
+
+
+def _decode(skel, arrays):
+    if isinstance(skel, dict):
+        if "__tuple__" in skel and len(skel) == 1:
+            return tuple(_decode(v, arrays) for v in skel["__tuple__"])
+        return {k: _decode(v, arrays) for k, v in skel.items()}
+    if isinstance(skel, list):
+        return [_decode(v, arrays) for v in skel]
+    if isinstance(skel, str) and skel.startswith(_LEAF):
+        return arrays[skel[len(_LEAF):]]
+    return skel
+
+
+def save_checkpoint(path: str, tree: Any, *, config: Optional[dict] = None,
+                    extra: Optional[dict] = None, backup_old: bool = True,
+                    keep: Optional[int] = None) -> str:
+    """Save a pytree checkpoint to directory ``path``.
+
+    ``config``: JSON-serializable run config (the reference's embedded opt).
+    ``extra``: small JSON metadata (epoch, step, ...).
+    ``backup_old``: rename an existing checkpoint to ``<path>.old`` first.
+    ``keep``: keep-N retention over ``<path>.step<NNN>`` siblings (new).
+    """
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    arrays: dict = {}
+    skeleton = _encode(jax.device_get(tree), arrays, "")
+    manifest = {"skeleton": skeleton, "config": config or {},
+                "extra": extra or {}, "format": 1}
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    np.savez(os.path.join(tmp, "arrays.npz"), **arrays)
+
+    if os.path.exists(path):
+        if backup_old:
+            old = path + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+        else:
+            shutil.rmtree(path)
+    os.rename(tmp, path)
+
+    if keep is not None:
+        _retain(path, keep)
+    return path
+
+
+def load_checkpoint(path: str):
+    """Returns (tree, config, extra)."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    with np.load(os.path.join(path, "arrays.npz")) as npz:
+        arrays = {k: npz[k] for k in npz.files}
+    tree = _decode(manifest["skeleton"], arrays)
+    return tree, manifest.get("config", {}), manifest.get("extra", {})
+
+
+def exists(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "manifest.json"))
+
+
+def _retain(path: str, keep: int):
+    """Keep the newest ``keep`` step-suffixed siblings of ``path``."""
+    base = os.path.basename(path)
+    parent = os.path.dirname(path)
+    sibs = sorted(
+        d for d in os.listdir(parent)
+        if d.startswith(base + ".step") and
+        os.path.isdir(os.path.join(parent, d)))
+    for d in sibs[:-keep] if keep > 0 else sibs:
+        shutil.rmtree(os.path.join(parent, d))
+
+
+# -- filename conventions (§3.6) -------------------------------------------
+
+def adversarial_name(save_dir: str) -> str:
+    return os.path.join(save_dir, "adversarial")
+
+
+def r_name(save_dir: str, c: int, h: int, w: int, noise_dim: int,
+           method: str, fixer: bool) -> str:
+    """train_r.lua:232: r_<C>x<H>x<W>_nd<z>_<method>[_fixer]."""
+    suffix = "_fixer" if fixer else ""
+    return os.path.join(save_dir, f"r_{c}x{h}x{w}_nd{noise_dim}_{method}{suffix}")
+
+
+def g_pretrained_name(save_dir: str, c: int, h: int, w: int,
+                      noise_dim: int) -> str:
+    """pretrain_g.lua:191-202 / train.lua:148."""
+    return os.path.join(save_dir, f"g_pretrained_{c}x{h}x{w}_nd{noise_dim}")
+
+
+def pretrained_name(save_dir: str, c: int, h: int, w: int,
+                    noise_dim: int) -> str:
+    """pretrain_with_previous_net.lua:260-266 / train.lua:127."""
+    return os.path.join(save_dir, f"pretrained_{c}x{h}x{w}_nd{noise_dim}")

@@ -1,0 +1,78 @@
+"""Device mesh & sharding — the framework's distribution layer.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.4: no
+DP/TP/PP, no collectives, no NCCL/MPI). This module is green-field TPU
+design: a 2-D mesh with named axes ('data', 'model'); data parallelism =
+batch sharded over 'data'; tensor parallelism = the big Dense/conv kernels
+sharded over 'model'. XLA inserts the all-reduces/all-gathers over ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = 0, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('data', 'model') mesh. ``data=0`` uses all remaining
+    devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model < 1:
+        model = 1
+    if data <= 0:
+        data = n // model
+    assert data * model <= n, (data, model, n)
+    devs = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch / N) axis over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded along axis 0
+    (the 'large-N batch inversion' layout, SURVEY.md §5.7)."""
+    return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+
+
+def param_partition_spec(leaf, min_size: int = 1 << 16) -> P:
+    """Tensor-parallel layout rule: shard the output features of big Dense
+    kernels and the output channels of big conv kernels over 'model';
+    replicate everything small (biases, BN, PReLU)."""
+    shape = getattr(leaf, "shape", ())
+    size = int(np.prod(shape)) if shape else 0
+    if size < min_size:
+        return P()
+    if len(shape) == 2:
+        return P(None, MODEL_AXIS)
+    if len(shape) == 4:
+        return P(None, None, None, MODEL_AXIS)
+    return P()
+
+
+def shard_params(tree, mesh: Mesh, min_size: int = 1 << 16):
+    """Apply the TP layout rule to a parameter pytree. The 'model' axis of
+    size 1 degenerates to full replication."""
+    def place(leaf):
+        spec = param_partition_spec(leaf, min_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(place, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, replicated(mesh)), tree)

@@ -1,0 +1,171 @@
+"""Adversarial G/D training — adversarial.lua rebuilt as two jitted steps.
+
+Reference semantics preserved (adversarial.lua:37-205):
+* D batch = half real (sequential from the epoch's data) + half fake from G
+  (adversarial.lua:127-145); labels Y_GENERATOR=0 / Y_NOT_GENERATOR=1
+  (train.lua:67-68).
+* G loss is the *non-saturating* form: fresh noise, targets=1
+  (adversarial.lua:171-172); D is forwarded in training mode but its
+  parameters are not updated in the G step (the reference reads the gradient
+  at D's input, adversarial.lua:111 — here: grad w.r.t. G params only).
+* G runs in training mode when producing D's fake half, so its BatchNorm
+  running stats update from that forward (torch modules default to training
+  mode; train.lua never calls evaluate during training).
+* L1/L2 penalty then clamp, per network (adversarial.lua:78-80,116-118;
+  defaults D_clamp=1, G_clamp=5, D_L2=1e-4).
+* Confusion-matrix counts (optim.ConfusionMatrix equivalent) accumulate
+  (prediction>0.5) vs target (adversarial.lua:82-87).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.prng import noise_inputs
+from ..models.modules import Module
+from ..optim import Optimizer, apply_updates, make_optimizer, regularize
+from .losses import bce
+from .state import GanState, TrainState, merge_state
+
+Y_GENERATOR = 0.0
+Y_NOT_GENERATOR = 1.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Confusion:
+    """2x2 confusion counts: [actual 0/1, predicted 0/1]
+    (optim.ConfusionMatrix, adversarial.lua:82-87,199-203)."""
+    counts: jax.Array
+
+    @classmethod
+    def zero(cls):
+        return cls(counts=jnp.zeros((2, 2), jnp.int32))
+
+    def add_batch(self, outputs, targets):
+        pred = (outputs > 0.5).astype(jnp.int32)
+        tgt = targets.astype(jnp.int32)
+        idx = tgt * 2 + pred
+        counts = self.counts + jnp.bincount(idx, length=4).reshape(2, 2)
+        return Confusion(counts=counts)
+
+    @property
+    def total_valid(self):
+        """CONFUSION.totalValid — overall accuracy (adversarial.lua:201)."""
+        c = self.counts.astype(jnp.float32)
+        return (c[0, 0] + c[1, 1]) / jnp.maximum(jnp.sum(c), 1.0)
+
+
+def make_adversarial_steps(G: Module, D: Module, *, batch_size: int,
+                           noise_dim: int, noise_method: str,
+                           d_l1: float = 0.0, d_l2: float = 1e-4,
+                           g_l1: float = 0.0, g_l2: float = 0.0,
+                           d_clamp: float = 1.0, g_clamp: float = 5.0,
+                           d_optimizer: Optional[Optimizer] = None,
+                           g_optimizer: Optional[Optimizer] = None,
+                           donate: bool = False):
+    """Returns jitted ``(d_step, g_step)``.
+
+    d_step(gs, real_half, confusion, key) -> (gs, confusion, d_loss)
+    g_step(gs, key) -> (gs, g_loss)
+    """
+    d_opt = d_optimizer or make_optimizer("adam")
+    g_opt = g_optimizer or make_optimizer("adam")
+    half = batch_size // 2
+
+    def d_loss_fn(d_params, d_state, inputs, targets, rng):
+        out, new_state = D.apply({"params": d_params, "state": d_state},
+                                 inputs, train=True, rng=rng)
+        out = out.reshape(-1)
+        return bce(out, targets), (new_state, out)
+
+    def d_step(gs: GanState, real_half, confusion: Confusion, key):
+        k_noise, k_gdrop, k_ddrop = jax.random.split(key, 3)
+        z = noise_inputs(k_noise, half, noise_dim, noise_method)
+        # fake half from G in training mode (updates G's BN running stats,
+        # no G parameter gradient) — adversarial.lua:140 / NN_UTILS.createImages
+        fakes, g_new_state = G.apply(gs.g.variables, z, train=True,
+                                     rng=k_gdrop)
+        inputs = jnp.concatenate(
+            [real_half.astype(fakes.dtype), jax.lax.stop_gradient(fakes)], 0)
+        targets = jnp.concatenate(
+            [jnp.full((half,), Y_NOT_GENERATOR, jnp.float32),
+             jnp.full((half,), Y_GENERATOR, jnp.float32)], 0)
+
+        (loss, (d_new_state, out)), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(gs.d.params, gs.d.state, inputs,
+                                     targets, k_ddrop)
+        grads, loss = regularize(gs.d.params, grads, loss, d_l1, d_l2,
+                                 d_clamp)
+        updates, opt_state = d_opt.update(grads, gs.d.opt_state, gs.d.params)
+        d = TrainState(params=apply_updates(gs.d.params, updates),
+                       state=merge_state(gs.d.state, d_new_state),
+                       opt_state=opt_state, step=gs.d.step + 1)
+        g = dataclasses.replace(gs.g, state=merge_state(gs.g.state,
+                                                        g_new_state))
+        confusion = confusion.add_batch(out, targets)
+        return GanState(g=g, d=d), confusion, loss
+
+    def g_loss_fn(g_params, g_state, d_variables, z, rng_g, rng_d):
+        imgs, g_new_state = G.apply({"params": g_params, "state": g_state},
+                                    z, train=True, rng=rng_g)
+        # D in training mode (dropout active) but parameters frozen:
+        # equivalent to the reference's read of D.modules[1].gradInput
+        # (adversarial.lua:104-114)
+        out, d_new_state = D.apply(jax.lax.stop_gradient(d_variables),
+                                   imgs, train=True, rng=rng_d)
+        out = out.reshape(-1)
+        targets = jnp.full_like(out, Y_NOT_GENERATOR)  # adversarial.lua:172
+        return bce(out, targets), (g_new_state, d_new_state)
+
+    def g_step(gs: GanState, key):
+        k_noise, k_gdrop, k_ddrop = jax.random.split(key, 3)
+        z = noise_inputs(k_noise, batch_size, noise_dim, noise_method)
+        (loss, (g_new_state, d_new_state)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gs.g.params, gs.g.state, gs.d.variables,
+                                     z, k_gdrop, k_ddrop)
+        grads, loss = regularize(gs.g.params, grads, loss, g_l1, g_l2,
+                                 g_clamp)
+        updates, opt_state = g_opt.update(grads, gs.g.opt_state, gs.g.params)
+        g = TrainState(params=apply_updates(gs.g.params, updates),
+                       state=merge_state(gs.g.state, g_new_state),
+                       opt_state=opt_state, step=gs.g.step + 1)
+        d = dataclasses.replace(gs.d, state=merge_state(gs.d.state,
+                                                        d_new_state))
+        return GanState(g=g, d=d), loss
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(d_step, donate_argnums=donate_argnums), \
+        jax.jit(g_step, donate_argnums=donate_argnums)
+
+
+def train_epoch(d_step, g_step, gs: GanState, train_data, key, *,
+                batch_size: int, n_batches: int, d_iterations: int = 1,
+                g_iterations: int = 1):
+    """One epoch — the adversarial.train driver loop (adversarial.lua:52-195).
+
+    ``train_data``: (N, H, W, C) device array; real halves are consumed
+    sequentially like the reference's exampleForDIdx cursor
+    (adversarial.lua:129-137).
+    """
+    half = batch_size // 2
+    confusion = Confusion.zero()
+    cursor = 0
+    n_data = train_data.shape[0]
+    d_losses, g_losses = [], []
+    for batch_idx in range(n_batches):
+        for k in range(d_iterations):
+            idx = (cursor + jnp.arange(half)) % n_data
+            real_half = train_data[idx]
+            cursor += half
+            key, sub = jax.random.split(key)
+            gs, confusion, d_loss = d_step(gs, real_half, confusion, sub)
+            d_losses.append(d_loss)
+        for k in range(g_iterations):
+            key, sub = jax.random.split(key)
+            gs, g_loss = g_step(gs, sub)
+            g_losses.append(g_loss)
+    return gs, confusion, (jnp.stack(d_losses), jnp.stack(g_losses))

@@ -1,0 +1,95 @@
+"""Reverser training — the train_r.lua loop, as one jitted device program.
+
+R trains on purely synthetic pairs: z ~ noise, images = G(z) with G frozen in
+eval mode, loss = MSE(R(images), z) (train_r.lua:138-168). The whole step
+(noise sampling -> G forward -> R forward/backward -> adam -> clamp) compiles
+to a single XLA program; nothing touches the host.
+
+Reference details preserved: adam optimizer (train_r.lua:170), L1/L2 penalty
+then clamp to ±R_clamp (train_r.lua:160-166, defaults L2=1e-4, clamp=1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.prng import noise_inputs
+from ..models.modules import Module
+from ..optim import Optimizer, adam, apply_updates, regularize
+from .losses import mse
+from .state import TrainState, merge_state
+
+
+def make_r_train_step(G: Module, R: Module, *, batch_size: int,
+                      noise_dim: int, noise_method: str,
+                      r_l1: float = 0.0, r_l2: float = 1e-4,
+                      r_clamp: float = 1.0,
+                      opt: Optional[Optimizer] = None,
+                      donate: bool = False) -> Callable:
+    """Returns jitted ``step(g_variables, r_ts, key) -> (r_ts, loss)``."""
+    opt = opt or adam()
+
+    def loss_fn(r_params, r_state, images, z, rng):
+        out, new_state = R.apply({"params": r_params, "state": r_state},
+                                 images, train=True, rng=rng)
+        return mse(out, z), new_state
+
+    def step(g_variables, ts: TrainState, key):
+        k_noise, k_drop = jax.random.split(key)
+        z = noise_inputs(k_noise, batch_size, noise_dim, noise_method)
+        # frozen G, eval mode (train_r.lua:69 MODEL_G:evaluate())
+        images, _ = G.apply(g_variables, z, train=False)
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, ts.state, images, z, k_drop)
+        grads, loss = regularize(ts.params, grads, loss, r_l1, r_l2, r_clamp)
+        updates, opt_state = opt.update(grads, ts.opt_state, ts.params)
+        params = apply_updates(ts.params, updates)
+        new_ts = TrainState(params=params,
+                            state=merge_state(ts.state, new_state),
+                            opt_state=opt_state, step=ts.step + 1)
+        return new_ts, loss
+
+    donate_argnums = (1,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def calibrate_batchnorm(model: Module, variables: dict, inputs_fn,
+                        key, n_batches: int = 50) -> dict:
+    """Run train-mode forwards to settle BatchNorm running statistics.
+
+    A freshly initialized G has mean=0/var=1 running stats, so eval-mode
+    outputs are degenerate until stats are warmed. The reference never needs
+    this because torch updates running stats on every training forward; here
+    it's explicit. ``inputs_fn(key) -> batch``.
+    """
+    @jax.jit
+    def step(vars_, k):
+        x = inputs_fn(k)
+        _, new_state = model.apply(vars_, x, train=True, rng=k)
+        from .state import merge_state as _ms
+        return {"params": vars_["params"],
+                "state": _ms(vars_["state"], new_state)}
+
+    for i in range(n_batches):
+        variables = step(variables, jax.random.fold_in(key, i))
+    return variables
+
+
+def make_r_eval_step(R: Module, *, fixer: bool = False) -> Callable:
+    """Jitted batched inversion: images -> recovered z.
+
+    The fixer-R still needs an rng (always-on dropout, models.lua:399-406);
+    the plain R is deterministic in eval.
+    """
+    if fixer:
+        def step(r_variables, images, key):
+            out, _ = R.apply(r_variables, images, train=False, rng=key)
+            return out
+    else:
+        def step(r_variables, images):
+            out, _ = R.apply(r_variables, images, train=False)
+            return out
+    return jax.jit(step)

@@ -1,0 +1,74 @@
+"""Checkpoint round-trip: params + optimizer state + config + epoch survive;
+.old backup semantics (train.lua:250-252); §3.6 filename conventions."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganreverser_tpu import io as gio
+from ganreverser_tpu import models as M
+from ganreverser_tpu import optim as O
+from ganreverser_tpu import train as T
+from ganreverser_tpu.core.config import RConfig
+
+
+def _tree_equal(a, b):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    return len(fa) == len(fb) and all(
+        np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(fa, fb))
+
+
+def test_roundtrip(tmp_path, key):
+    R = M.create_R((1, 8, 8), 8, "normal")
+    variables, _ = R.init(key, (8, 8, 1))
+    ts = T.TrainState.create(variables, O.adam())
+    tree = {"params": ts.params, "state": ts.state,
+            "opt_state": ts.opt_state, "step": ts.step}
+    cfg = RConfig(noiseDim=8, height=8, width=8)
+    path = str(tmp_path / "ckpt")
+    gio.save_checkpoint(path, tree, config=cfg.to_dict(),
+                        extra={"epoch": 7})
+    tree2, cfg2, extra = gio.load_checkpoint(path)
+    assert _tree_equal(tree, tree2)
+    assert cfg2["noiseDim"] == 8
+    assert extra["epoch"] == 7
+    # config round-trips through the dataclass (checkpoint carries opt,
+    # §3.6 contract)
+    rc = RConfig.from_dict(cfg2)
+    assert rc.height == 8
+
+
+def test_old_backup(tmp_path):
+    path = str(tmp_path / "adversarial")
+    gio.save_checkpoint(path, {"x": jnp.array([1.0])}, extra={"v": 1})
+    gio.save_checkpoint(path, {"x": jnp.array([2.0])}, extra={"v": 2})
+    assert os.path.isdir(path + ".old")
+    _, _, e_old = gio.load_checkpoint(path + ".old")
+    _, _, e_new = gio.load_checkpoint(path)
+    assert e_old["v"] == 1 and e_new["v"] == 2
+
+
+def test_filenames():
+    assert gio.r_name("logs", 3, 32, 32, 32, "normal", False).endswith(
+        "r_3x32x32_nd32_normal")
+    assert gio.r_name("logs", 1, 16, 16, 8, "uniform", True).endswith(
+        "r_1x16x16_nd8_uniform_fixer")
+    assert gio.g_pretrained_name("logs", 3, 32, 32, 100).endswith(
+        "g_pretrained_3x32x32_nd100")
+    assert gio.pretrained_name("logs", 3, 32, 32, 100).endswith(
+        "pretrained_3x32x32_nd100")
+
+
+def test_tuple_and_scalar_leaves(tmp_path):
+    tree = {"t": (jnp.zeros((2,)), {"n": 3}), "s": "hello", "f": 1.5,
+            "none": None, "lst": [jnp.ones((1,)), 2]}
+    path = str(tmp_path / "misc")
+    gio.save_checkpoint(path, tree)
+    tree2, _, _ = gio.load_checkpoint(path)
+    assert isinstance(tree2["t"], tuple)
+    assert tree2["t"][1]["n"] == 3
+    assert tree2["s"] == "hello" and tree2["f"] == 1.5
+    assert tree2["none"] is None
+    assert np.allclose(tree2["lst"][0], 1.0) and tree2["lst"][1] == 2

@@ -1,0 +1,82 @@
+"""Distributed tests on the fake 8-device CPU backend (SURVEY.md §4):
+mesh construction, sharded batch inversion, TP param sharding, sharded
+top-k merge, and a data-parallel R train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganreverser_tpu import models as M
+from ganreverser_tpu import optim as O
+from ganreverser_tpu import parallel as par
+from ganreverser_tpu import train as T
+from ganreverser_tpu.core.prng import seed_key
+
+
+def test_mesh_shapes():
+    mesh = par.make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = par.make_mesh(data=4, model=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def test_sharded_inversion_matches_single_device(key):
+    """Batch-sharded G∘R inversion over the mesh == single-device result."""
+    G = M.create_G((1, 8, 8), 8)
+    R = M.create_R((1, 8, 8), 8, "normal")
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (8,))
+    r_vars, _ = R.init(jax.random.fold_in(key, 2), (8, 8, 1))
+
+    z = jax.random.normal(jax.random.fold_in(key, 3), (32, 8))
+
+    @jax.jit
+    def invert(gv, rv, z):
+        imgs, _ = G.apply(gv, z)
+        zhat, _ = R.apply(rv, imgs)
+        return zhat
+
+    ref = np.asarray(invert(g_vars, r_vars, z))
+
+    mesh = par.make_mesh()
+    z_sharded = par.shard_batch(z, mesh)
+    gv = par.replicate(g_vars, mesh)
+    rv = par.replicate(r_vars, mesh)
+    out = np.asarray(invert(gv, rv, z_sharded))
+    assert np.allclose(ref, out, atol=1e-5)
+
+
+def test_tp_param_sharding(key):
+    mesh = par.make_mesh(data=4, model=2)
+    R = M.create_R((1, 8, 8), 8, "normal")
+    r_vars, _ = R.init(key, (8, 8, 1))
+    sharded = par.shard_params(r_vars["params"], mesh, min_size=1 << 10)
+    # the big Dense kernel (512x512 at 8x8 geometry) must be sharded over 'model'
+    big = sharded["l27"]["kernel"]
+    assert big.shape == (128 * 2 * 2, 512)
+    shard_shapes = {s.data.shape for s in big.addressable_shards}
+    assert (512, 256) in shard_shapes
+
+
+def test_sharded_topk_merge(key):
+    mesh = par.make_mesh()
+    scores = jax.random.normal(key, (64,))
+    ref_v, ref_i = jax.lax.top_k(scores, 5)
+    v, i = par.sharded_topk_merge(par.shard_batch(scores, mesh), 5, mesh)
+    assert np.allclose(np.asarray(ref_v), np.asarray(v))
+    assert np.array_equal(np.asarray(ref_i), np.asarray(i))
+
+
+def test_dp_r_train_step(key):
+    """A full R train step jits and runs with replicated params —
+    the dryrun_multichip core."""
+    G = M.create_G((1, 8, 8), 8)
+    R = M.create_R((1, 8, 8), 8, "normal")
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (8,))
+    r_vars, _ = R.init(jax.random.fold_in(key, 2), (8, 8, 1))
+    mesh = par.make_mesh()
+    g_vars = par.replicate(g_vars, mesh)
+    ts = T.TrainState.create(par.replicate(r_vars, mesh), O.adam())
+    step = T.make_r_train_step(G, R, batch_size=16, noise_dim=8,
+                               noise_method="normal", donate=False)
+    ts2, loss = step(g_vars, ts, seed_key(9))
+    assert np.isfinite(float(loss))

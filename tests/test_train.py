@@ -1,0 +1,109 @@
+"""Training-loop tests (SURVEY.md §4): R slice learns, adversarial step runs
+with correct label conventions, losses finite, clamp behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganreverser_tpu import models as M
+from ganreverser_tpu import optim as O
+from ganreverser_tpu import train as T
+from ganreverser_tpu.core.prng import noise_inputs, seed_key
+
+DIMS = (1, 8, 8)   # tiny grayscale for CPU speed
+ND = 8
+BATCH = 16
+
+
+@pytest.fixture(scope="module")
+def g_and_r():
+    key = seed_key(0)
+    G = M.create_G(DIMS, ND)
+    R = M.create_R(DIMS, ND, "normal")
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (ND,))
+    r_vars, _ = R.init(jax.random.fold_in(key, 2), (8, 8, 1))
+    # settle G's BatchNorm running stats so eval-mode G(z) varies with z
+    # (an untrained G has degenerate init stats; a trained one would not)
+    g_vars = T.calibrate_batchnorm(
+        G, g_vars, lambda k: noise_inputs(k, BATCH, ND, "normal"),
+        jax.random.fold_in(key, 3), n_batches=40)
+    return G, R, g_vars, r_vars
+
+
+def test_r_training_reduces_loss(g_and_r):
+    """The minimum end-to-end slice: z -> G -> R -> MSE(ẑ, z) on synthetic
+    pairs only (train_r.lua:138-139: no dataset use). Eval-mode MSE must
+    drop below the trivial predict-zero loss (=Var[z]=1)."""
+    G, R, g_vars, r_vars = g_and_r
+    step = T.make_r_train_step(G, R, batch_size=BATCH, noise_dim=ND,
+                               noise_method="normal")
+    ev = T.make_r_eval_step(R)
+
+    def eval_mse(ts):
+        z = noise_inputs(seed_key(99), 128, ND, "normal")
+        imgs, _ = jax.jit(lambda v, z: G.apply(v, z))(g_vars, z)
+        zhat = ev({"params": ts.params, "state": ts.state}, imgs)
+        return float(jnp.mean((zhat - z) ** 2))
+
+    ts = T.TrainState.create(r_vars, O.adam())
+    loss0 = eval_mse(ts)
+    key = seed_key(1)
+    for i in range(150):
+        key, sub = jax.random.split(key)
+        ts, loss = step(g_vars, ts, sub)
+        assert np.isfinite(float(loss))
+    loss1 = eval_mse(ts)
+    assert loss1 < loss0
+    assert loss1 < 0.95  # better than predicting the mean
+    assert int(ts.step) == 150
+
+
+def test_r_eval_deterministic(g_and_r):
+    G, R, g_vars, r_vars = g_and_r
+    ev = T.make_r_eval_step(R)
+    x = jnp.ones((4, 8, 8, 1)) * 0.5
+    a = ev(r_vars, x)
+    b = ev(r_vars, x)
+    assert a.shape == (4, ND)
+    assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_adversarial_steps():
+    key = seed_key(2)
+    G = M.create_G(DIMS, ND)
+    D = M.create_D(DIMS)
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (ND,))
+    d_vars, _ = D.init(jax.random.fold_in(key, 2), (8, 8, 1))
+    gs = T.GanState(g=T.TrainState.create(g_vars, O.adam()),
+                    d=T.TrainState.create(d_vars, O.adam()))
+    d_step, g_step = T.make_adversarial_steps(
+        G, D, batch_size=BATCH, noise_dim=ND, noise_method="normal")
+
+    data = jax.random.uniform(jax.random.fold_in(key, 3), (64, 8, 8, 1))
+    gs2, confusion, (d_losses, g_losses) = T.train_epoch(
+        d_step, g_step, gs, data, jax.random.fold_in(key, 4),
+        batch_size=BATCH, n_batches=3)
+    assert np.isfinite(np.asarray(d_losses)).all()
+    assert np.isfinite(np.asarray(g_losses)).all()
+    assert int(gs2.d.step) == 3 and int(gs2.g.step) == 3
+    # confusion accumulated over D batches: 3 batches × BATCH examples
+    assert int(jnp.sum(confusion.counts)) == 3 * BATCH
+    tv = float(confusion.total_valid)
+    assert 0.0 <= tv <= 1.0
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), gs.g.params, gs2.g.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_labels():
+    """Y_GENERATOR=0 / Y_NOT_GENERATOR=1 (train.lua:67-68)."""
+    assert T.Y_GENERATOR == 0.0
+    assert T.Y_NOT_GENERATOR == 1.0
+
+
+def test_bce_mse():
+    o = jnp.array([0.9, 0.1])
+    t = jnp.array([1.0, 0.0])
+    assert float(T.bce(o, t)) == pytest.approx(-np.log(0.9), rel=1e-3)
+    assert float(T.mse(jnp.array([2.0, 0.0]), jnp.array([0.0, 0.0]))) == 2.0
