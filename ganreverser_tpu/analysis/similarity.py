@@ -1,0 +1,52 @@
+"""Cosine-similarity search — apply_r.lua:265-318, on-device.
+
+The reference instantiates an nn.CosineDistance module *per pair* and loops
+needles x 10k on the host (apply_r.lua:270-276, 396-400). Here: one
+normalize, one matmul on the MXU, one top-k — the whole search for all
+needles is a single fused XLA program over HBM-resident embeddings
+(BASELINE.json north-star item). A Pallas-fused variant lives in
+ops/topk_kernel.py; this is the lax reference implementation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# torch nn.CosineDistance guards the denominator with 1e-8
+_EPS = 1e-8
+
+
+def normalize_rows(x: jax.Array) -> jax.Array:
+    x = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, _EPS)
+
+
+def cosine_scores(embeddings: jax.Array, needle_idx: jax.Array) -> jax.Array:
+    """(needles, N) cosine similarity of each needle against every row."""
+    normed = normalize_rows(embeddings)
+    needles = jnp.take(normed, needle_idx, axis=0)
+    return jnp.dot(needles, normed.T, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def cosine_topk(embeddings: jax.Array, needle_idx: jax.Array,
+                k: int):
+    """Top-k most-similar rows per needle.
+
+    Returns (scores (needles, k), indices (needles, k)), sorted descending —
+    matching the reference's full descending sort truncated to nbShowMax
+    (apply_r.lua:275-278).
+    """
+    scores = cosine_scores(embeddings, needle_idx)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def pixel_cosine_topk(images: jax.Array, needle_idx: jax.Array, k: int):
+    """The reference's second measure: cosine over flattened pixels
+    (apply_r.lua:307-314)."""
+    flat = images.reshape(images.shape[0], -1)
+    return cosine_topk(flat, needle_idx, k)
