@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): R-inversion images/sec/chip at 64x64. The north
+star is >=50k end-to-end inversions/sec on a v5e-8, i.e. 6250 img/s/chip —
+``vs_baseline`` is measured against that per-chip target.
+
+The timed section is the end-to-end inversion pipeline the reference runs on
+the host (apply_r.lua:143-153): R forward over generated 64x64 faces, bf16
+compute, eval mode, images HBM-resident. Top-k QPS and G-generate rates are
+measured too and reported on stderr for the record.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CHIP_TARGET = 50000.0 / 8.0  # north-star v5e-8 target, per chip
+
+
+def _force(x):
+    """Force completion with a real host fetch: on the axon TPU tunnel,
+    block_until_ready does not cover pending compilation — only a device->
+    host transfer reliably synchronizes the first run."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def _time_best(fn, *args, repeats=5):
+    _force(fn(*args))  # warmup: compile + first run, fetch-synchronized
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    _force(out)  # drain the queue before the next benchmark section
+    return best
+
+
+def main():
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.analysis import cosine_topk, forward_batched
+    from ganreverser_tpu.core.prng import seed_key
+
+    dims, nd = (3, 64, 64), 100
+    n_images = 10240
+    batch = 1024
+
+    G = M.create_G(dims, nd, dtype=jnp.bfloat16)
+    R = M.create_R(dims, nd, "normal", dtype=jnp.bfloat16)
+    key = seed_key(0)
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (nd,))
+    r_vars, _ = R.init(jax.random.fold_in(key, 2), (64, 64, 3))
+
+    @jax.jit
+    def generate(gv, z):
+        return forward_batched(
+            lambda b: G.apply(gv, b, train=False)[0], z, batch)
+
+    @jax.jit
+    def invert(rv, images):
+        return forward_batched(
+            lambda b: R.apply(rv, b, train=False)[0], images, batch)
+
+    z = jax.random.normal(jax.random.fold_in(key, 3), (n_images, nd),
+                          jnp.float32)
+    images = generate(g_vars, z)
+    _force(images)
+
+    t_gen = _time_best(generate, g_vars, z)
+    t_inv = _time_best(invert, r_vars, images)
+    inv_ips = n_images / t_inv
+    gen_ips = n_images / t_gen
+
+    # top-k QPS over the recovered 10k embeddings (apply_r.lua:265-318)
+    emb = invert(r_vars, images)
+    _force(emb)
+    n_needles = 256
+    needles = jnp.arange(n_needles)
+    t_topk = _time_best(lambda e: cosine_topk(e, needles, 100), emb)
+    topk_qps = n_needles / t_topk
+
+    print(f"[bench] G-generate: {gen_ips:,.0f} img/s | "
+          f"R-invert: {inv_ips:,.0f} img/s | "
+          f"cosine top-k: {topk_qps:,.0f} qps "
+          f"({n_needles} needles x {n_images} embeddings)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "R-inversion images/sec/chip @64x64 (bf16, batch 1024)",
+        "value": round(inv_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(inv_ips / PER_CHIP_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

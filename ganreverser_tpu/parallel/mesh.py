@@ -49,26 +49,36 @@ def shard_batch(x, mesh: Mesh):
     return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
 
 
-def param_partition_spec(leaf, min_size: int = 1 << 16) -> P:
+def param_partition_spec(leaf, min_size: int = 1 << 16,
+                         model_size: int = 1) -> P:
     """Tensor-parallel layout rule: shard the output features of big Dense
-    kernels and the output channels of big conv kernels over 'model';
-    replicate everything small (biases, BN, PReLU)."""
+    kernels and the output channels of big conv kernels over 'model' (falling
+    back to the input dim, then replication, when not divisible); replicate
+    everything small (biases, BN, PReLU)."""
     shape = getattr(leaf, "shape", ())
     size = int(np.prod(shape)) if shape else 0
-    if size < min_size:
+    if size < min_size or model_size <= 1:
         return P()
     if len(shape) == 2:
-        return P(None, MODEL_AXIS)
+        if shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)
+        if shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)
     if len(shape) == 4:
-        return P(None, None, None, MODEL_AXIS)
+        if shape[3] % model_size == 0:
+            return P(None, None, None, MODEL_AXIS)
+        if shape[2] % model_size == 0:
+            return P(None, None, MODEL_AXIS, None)
     return P()
 
 
 def shard_params(tree, mesh: Mesh, min_size: int = 1 << 16):
     """Apply the TP layout rule to a parameter pytree. The 'model' axis of
     size 1 degenerates to full replication."""
+    model_size = mesh.shape[MODEL_AXIS]
+
     def place(leaf):
-        spec = param_partition_spec(leaf, min_size)
+        spec = param_partition_spec(leaf, min_size, model_size)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(place, tree)
 
