@@ -1,0 +1,181 @@
+"""Inversion/analysis suite CLI — apply_r.lua.
+
+Produces the reference's artifact set (apply_r.lua:111-192):
+  variations.jpg                      ① latent-component sweep
+  cluster_NN.jpg                      ③ kmeans-20 clusters (top-71 + average)
+  similar_attributes_NN.jpg           ④ cosine top-k on recovered latents
+  similar_pixelwise_NN.jpg            ④ cosine top-k on raw pixels
+  fixed_pairs.jpg / fixed_images_*.jpg⑤ G∘R fixing
+  anomalies.jpg                       ⑥ euclidean-threshold anomaly detection
+plus (new) gradient-based latent refinement via --refine_steps.
+
+All O(N) compute runs on device; only grid assembly happens on the host.
+
+Usage: python -m ganreverser_tpu.cli.apply_r --G logs/adversarial --N 10000
+"""
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import analysis as A
+from .. import io as gio
+from .. import models as M
+from ..core.config import ApplyConfig
+from ..core.prng import seed_key
+from ..utils.grids import BLUE, RED, add_border, images_to_grid, save_image
+from . import common
+
+
+def _square_grid(images_rgb: np.ndarray):
+    n = images_rgb.shape[0]
+    side = math.ceil(math.sqrt(n))
+    return images_to_grid(images_rgb, math.ceil(n / side), side)
+
+
+def main(argv=None):
+    cfg = ApplyConfig.from_args(argv, "inversion/analysis suite (apply_r.lua)")
+    dtype = common.compute_dtype(cfg)
+    key = seed_key(cfg.seed)
+    os.makedirs(cfg.writeto, exist_ok=True)
+
+    # --- load G (inherit geometry) + R + R_fixer (apply_r.lua:59-109) ---
+    g_tree, g_cfg, _ = gio.load_checkpoint(cfg.G)
+    noise_dim = g_cfg["noiseDim"]
+    noise_method = g_cfg["noiseMethod"]
+    colorspace = g_cfg["colorSpace"]
+    h, w = g_cfg["height"], g_cfg["width"]
+    c = 1 if colorspace == "y" else 3
+    dims = (c, h, w)
+
+    G = M.create_G(dims, noise_dim, dtype=dtype)
+    g_vars = {"params": g_tree["G"]["params"], "state": g_tree["G"]["state"]}
+
+    r_path = cfg.R or gio.r_name(cfg.save, c, h, w, noise_dim, noise_method,
+                                 False)
+    rf_path = cfg.R_fixer or gio.r_name(cfg.save, c, h, w, noise_dim,
+                                        noise_method, True)
+    R = M.create_R(dims, noise_dim, noise_method, fixer=False, dtype=dtype)
+    r_tree, _, _ = gio.load_checkpoint(r_path)
+    r_vars = {"params": r_tree["R"]["params"], "state": r_tree["R"]["state"]}
+
+    R_fixer = rf_vars = None
+    if gio.exists(rf_path):
+        R_fixer = M.create_R(dims, noise_dim, noise_method, fixer=True,
+                             dtype=dtype)
+        rf_tree, _, _ = gio.load_checkpoint(rf_path)
+        rf_vars = {"params": rf_tree["R"]["params"],
+                   "state": rf_tree["R"]["state"]}
+    else:
+        print(f"[apply_r] no fixer checkpoint at {rf_path}; "
+              "using plain R for fixing/anomalies")
+
+    def rgb(x):
+        return common.to_nhwc_rgb(x, colorspace)
+
+    # --- ① variation sweep (apply_r.lua:115-138) ---
+    print("Varying components...")
+    nb_steps = 16
+    variations = A.variation_sweep(
+        G, g_vars, noise_dim=noise_dim, noise_method=noise_method,
+        key=jax.random.fold_in(key, 1), nb_steps=nb_steps,
+        batch_size=cfg.batchSize)
+    save_image(os.path.join(cfg.writeto, "variations.jpg"),
+               images_to_grid(rgb(variations), noise_dim, nb_steps))
+
+    # --- ② generate N + invert (apply_r.lua:143-153) ---
+    print("Generating images...")
+    out = A.generate_and_invert(
+        G, R, g_vars, r_vars, n=cfg.N, noise_dim=noise_dim,
+        noise_method=noise_method, key=jax.random.fold_in(key, 2),
+        batch_size=max(cfg.batchSize, 256),
+        r_fixer_variables=rf_vars, R_fixer=R_fixer)
+    if R_fixer is not None:
+        noise, images, attributes, attributes_fixer = out
+    else:
+        noise, images, attributes = out
+        attributes_fixer = attributes
+
+    # --- optional: gradient-based latent refinement (new) ---
+    if cfg.refine_steps > 0:
+        print(f"Refining latents ({cfg.refine_steps} adam steps on z)...")
+        refine = A.make_refiner(G, steps=cfg.refine_steps, lr=cfg.refine_lr)
+        attributes, final_loss = refine(g_vars, images, attributes)
+        print(f"  final pixel MSE: {float(jnp.mean(final_loss)):.6f}")
+
+    # --- ③ clustering (apply_r.lua:158-163, 197-260) ---
+    print("Clustering...")
+    centroids, counts = A.kmeans(jax.random.fold_in(key, 3), attributes,
+                                 cfg.clusters, cfg.kmeans_iters)
+    assign, sims = A.assign_min_cosine(attributes, centroids)
+    images_host = rgb(images)
+    for ci in range(cfg.clusters):
+        members = A.cluster_members(assign, sims, ci, 64 + 7)
+        if len(members) == 0:
+            continue
+        cluster_imgs = images_host[members]
+        avg = cluster_imgs.mean(axis=0, keepdims=True)
+        tile = np.concatenate([avg, cluster_imgs])
+        save_image(os.path.join(cfg.writeto, f"cluster_{ci + 1:02d}.jpg"),
+                   _square_grid(tile))
+
+    # --- ④ similarity search (apply_r.lua:169-172, 265-318) ---
+    print("Finding faces by similarity...")
+    needles = jnp.array([(i + 1) * 100 - 1 for i in range(cfg.needles)])
+    for tag, (scores, idx) in (
+            ("attributes", A.cosine_topk(attributes, needles, 100)),
+            ("pixelwise", A.pixel_cosine_topk(images, needles, 100))):
+        idx = np.asarray(idx)
+        for i in range(cfg.needles):
+            tiles = images_host[idx[i]]
+            tiles[0] = add_border(tiles[0], BLUE)
+            save_image(os.path.join(cfg.writeto,
+                                    f"similar_{tag}_{i + 1:02d}.jpg"),
+                       _square_grid(tiles))
+
+    # --- ⑤ fixing (apply_r.lua:179-182, 324-352) ---
+    print("Fixing faces...")
+    nb_pairs, nb_fixed = 52, 512 + 16
+    fixed = A.fix_images(G, g_vars, attributes_fixer,
+                         batch_size=max(cfg.batchSize, 256))
+    fixed_host = rgb(fixed)
+    pairs = np.concatenate([
+        np.concatenate([images_host[i], fixed_host[i]], axis=1)[None]
+        for i in range(min(nb_pairs, cfg.N))])
+    save_image(os.path.join(cfg.writeto, "fixed_pairs.jpg"),
+               images_to_grid(pairs, math.ceil(len(pairs) / 4), 4))
+    n_show = min(nb_fixed, cfg.N)
+    side = int(math.sqrt(n_show))
+    save_image(os.path.join(cfg.writeto,
+                            f"fixed_images_{nb_fixed}_unfixed.jpg"),
+               images_to_grid(images_host[:n_show],
+                              math.ceil(n_show / side), side))
+    save_image(os.path.join(cfg.writeto, f"fixed_images_{nb_fixed}.jpg"),
+               images_to_grid(fixed_host[:n_show],
+                              math.ceil(n_show / side), side))
+
+    # --- ⑥ anomaly detection (apply_r.lua:187-191, 355-390) ---
+    print("Detecting anomalies...")
+    n_calc = min(cfg.anomalies_n, cfg.N)
+    scores, thr, is_anomaly = A.detect_anomalies(
+        images[:n_calc], fixed[:n_calc], cfg.anomalies_quantile)
+    is_anomaly = np.asarray(is_anomaly)
+    n_show = min(512 + 16, n_calc)
+    tiles = np.array(images_host[:n_show], copy=True)
+    for i in range(n_show):
+        if is_anomaly[i]:
+            tiles[i] = add_border(tiles[i], RED)
+    side = int(math.sqrt(n_show))
+    save_image(os.path.join(cfg.writeto, "anomalies.jpg"),
+               images_to_grid(tiles, math.ceil(n_show / side), side))
+    print(f"[apply_r] threshold={float(thr):.4f} "
+          f"anomalies={int(is_anomaly.sum())}/{n_calc}; artifacts in "
+          f"{cfg.writeto}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Shared CLI glue: model construction from configs, state<->checkpoint-tree
+conversion, dataset/mesh setup."""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import io as gio
+from .. import models as M
+from .. import optim as O
+from .. import parallel as par
+from .. import train as T
+from ..core.prng import seed_key
+from ..data import Dataset
+
+
+def compute_dtype(cfg) -> jnp.dtype:
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        getattr(cfg, "compute_dtype", "float32")]
+
+
+def ts_to_tree(ts: T.TrainState) -> dict:
+    return {"params": ts.params, "state": ts.state,
+            "opt_state": ts.opt_state, "step": ts.step}
+
+
+def ts_from_tree(tree: dict) -> T.TrainState:
+    return T.TrainState(params=tree["params"], state=tree["state"],
+                        opt_state=tree["opt_state"],
+                        step=jnp.asarray(tree["step"]))
+
+
+def gan_to_tree(gs: T.GanState, extra_arrays: Optional[dict] = None) -> dict:
+    tree = {"G": ts_to_tree(gs.g), "D": ts_to_tree(gs.d)}
+    if extra_arrays:
+        tree.update(extra_arrays)
+    return tree
+
+
+def gan_from_tree(tree: dict) -> T.GanState:
+    return T.GanState(g=ts_from_tree(tree["G"]), d=ts_from_tree(tree["D"]))
+
+
+def make_dataset(cfg) -> Dataset:
+    if cfg.dataset == "NONE":
+        sys.exit("--dataset is required (a directory of *.jpg images, or "
+                 "'synthetic' for the built-in procedural faces)")
+    return Dataset([cfg.dataset], height=cfg.height, width=cfg.width,
+                   colorspace=cfg.colorSpace, seed=cfg.seed)
+
+
+def build_gan_models(cfg, dtype):
+    dims = cfg.img_dims()
+    G = M.create_G(dims, cfg.noiseDim, dtype=dtype)
+    D = M.create_D(dims, dtype=dtype)
+    return G, D, dims
+
+
+def init_gan_state(cfg, G, D, dims, key) -> T.GanState:
+    c, h, w = dims
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (cfg.noiseDim,))
+    d_vars, _ = D.init(jax.random.fold_in(key, 2), (h, w, c))
+    g_opt = O.make_optimizer(cfg.G_optmethod, sgd_lr=cfg.G_sgd_lr,
+                             sgd_momentum=cfg.G_sgd_momentum)
+    d_opt = O.make_optimizer(cfg.D_optmethod, sgd_lr=cfg.D_sgd_lr,
+                             sgd_momentum=cfg.D_sgd_momentum)
+    return T.GanState(g=T.TrainState.create(g_vars, g_opt),
+                      d=T.TrainState.create(d_vars, d_opt))
+
+
+def to_nhwc_rgb(images, colorspace: str) -> np.ndarray:
+    """Device NHWC (any colorspace) -> host RGB for artifact rendering."""
+    from ..data import to_rgb
+    return to_rgb(np.asarray(jax.device_get(images), np.float32), colorspace)

@@ -1,0 +1,185 @@
+"""Adversarial G/D training CLI — train.lua.
+
+Flow (train.lua:103-239): resume or create G+D (auto-loading the
+pretrained / g_pretrained warm starts unless --nopretraining), then per
+epoch: load fresh random images -> visualization artifacts ->
+ADVERSARIAL.train -> checkpoint every saveFreq epochs.
+
+Usage:  python -m ganreverser_tpu.cli.train --dataset synthetic --epochs 3
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import io as gio
+from .. import models as M
+from .. import optim as O
+from .. import train as T
+from ..core.config import GanConfig
+from ..core.prng import noise_inputs, seed_key
+from ..io.metrics import MetricsWriter, StepTimer, nan_guard
+from . import common
+
+
+def visualize_progress(writer: MetricsWriter, G, D, gs, vis_noise, cfg,
+                       epoch: int, train_data):
+    """train.lua:268-319: grids of 50 random samples, 50 best and 8 worst by
+    D's score, plus a D-sanity ranking with injected non-face patterns."""
+    @jax.jit
+    def gen(gv, z):
+        return G.apply(gv, z, train=False)[0]
+
+    @jax.jit
+    def rate(dv, images):
+        return D.apply(dv, images, train=False)[0].reshape(-1)
+
+    images = gen(gs.g.variables, vis_noise)
+    if nan_guard(images):
+        print("<trainer> WARNING: generated images contain NaN/Inf "
+              "(train.lua:303-305 equivalent)")
+    preds = np.asarray(rate(gs.d.variables, images))
+    order = np.argsort(-preds, kind="stable")
+    rgb = common.to_nhwc_rgb(images, cfg.colorSpace)
+    writer.image_grid("samples", rgb[:50], 5, 10, epoch)
+    writer.image_grid("best", rgb[order[:50]], 5, 10, epoch)
+    writer.image_grid("worst", rgb[order[::-1][:8]], 2, 4, epoch)
+    # sanity ranking (train.lua:275-299): a diagonal pattern + one real face
+    h, w, c = rgb.shape[1:3] + (images.shape[-1],)
+    diag = np.zeros((h, w, c), np.float32)
+    idx = np.arange(min(h, w))
+    diag[idx, idx] = 1.0
+    sanity = np.stack([diag, np.asarray(train_data[0], np.float32)])
+    sp = np.asarray(rate(gs.d.variables, jnp.asarray(sanity)))
+    writer.scalar("sanity_diag_pred", sp[0], step=epoch)
+    writer.scalar("sanity_face_pred", sp[1], step=epoch)
+
+
+def main(argv=None):
+    cfg = GanConfig.from_args(argv, "adversarial G/D training (train.lua)")
+    dtype = common.compute_dtype(cfg)
+    key = seed_key(cfg.seed)
+    dataset = common.make_dataset(cfg)
+    G, D, dims = common.build_gan_models(cfg, dtype)
+    c, h, w = dims
+
+    ckpt_path = gio.adversarial_name(cfg.save)
+    epoch = 1
+    vis_noise = None
+
+    if cfg.network:
+        # resume (train.lua:110-125): restores epoch+1 and the fixed vis noise
+        tree, saved_cfg, extra = gio.load_checkpoint(
+            os.path.join(cfg.save, cfg.network) if not os.path.isdir(
+                cfg.network) else cfg.network)
+        gs = common.gan_from_tree(tree)
+        epoch = int(extra.get("epoch", 0)) + 1
+        vis_noise = jnp.asarray(tree["vis_noise_inputs"])
+        print(f"<trainer> reloaded network, continuing at epoch {epoch}")
+    else:
+        gs = None
+        if not cfg.nopretraining:
+            # pretrained G+D via pretrain_with_previous_net (train.lua:127-138)
+            pt = gio.pretrained_name(cfg.save, c, h, w, cfg.noiseDim)
+            if gio.exists(pt):
+                tree, _, _ = gio.load_checkpoint(pt)
+                g_opt = O.make_optimizer(cfg.G_optmethod, sgd_lr=cfg.G_sgd_lr,
+                                         sgd_momentum=cfg.G_sgd_momentum)
+                d_opt = O.make_optimizer(cfg.D_optmethod, sgd_lr=cfg.D_sgd_lr,
+                                         sgd_momentum=cfg.D_sgd_momentum)
+                gs = T.GanState(
+                    g=T.TrainState.create(
+                        {"params": tree["G"]["params"],
+                         "state": tree["G"]["state"]}, g_opt),
+                    d=T.TrainState.create(
+                        {"params": tree["D"]["params"],
+                         "state": tree["D"]["state"]}, d_opt))
+                print(f"<trainer> loaded pretrained G+D from {pt}")
+        if gs is None:
+            gs = common.init_gan_state(cfg, G, D, dims, key)
+            if not cfg.nopretraining:
+                # pretrained G decoder via pretrain_g (train.lua:148-157)
+                gpt = gio.g_pretrained_name(cfg.G_pretrained_dir, c, h, w,
+                                            cfg.noiseDim)
+                if gio.exists(gpt):
+                    tree, _, _ = gio.load_checkpoint(gpt)
+                    g_opt = O.make_optimizer(
+                        cfg.G_optmethod, sgd_lr=cfg.G_sgd_lr,
+                        sgd_momentum=cfg.G_sgd_momentum)
+                    gs = T.GanState(
+                        g=T.TrainState.create(
+                            {"params": tree["params"],
+                             "state": tree["state"]}, g_opt),
+                        d=gs.d)
+                    print("<trainer> loading pretrained G...")
+                else:
+                    print("<trainer> Note: Did not find pretrained G")
+
+    n_params_g = M.count_parameters(gs.g.params)
+    n_params_d = M.count_parameters(gs.d.params)
+    print(f"Number of free parameters in D: {n_params_d}")
+    print(f"Number of free parameters in G: {n_params_g}")
+
+    if vis_noise is None:
+        vis_noise = noise_inputs(jax.random.fold_in(key, 100), 100,
+                                 cfg.noiseDim, cfg.noiseMethod)
+
+    d_step, g_step = T.make_adversarial_steps(
+        G, D, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,
+        noise_method=cfg.noiseMethod,
+        d_l1=cfg.D_L1, d_l2=cfg.D_L2, g_l1=cfg.G_L1, g_l2=cfg.G_L2,
+        d_clamp=cfg.D_clamp, g_clamp=cfg.G_clamp,
+        d_optimizer=O.make_optimizer(cfg.D_optmethod, sgd_lr=cfg.D_sgd_lr,
+                                     sgd_momentum=cfg.D_sgd_momentum),
+        g_optimizer=O.make_optimizer(cfg.G_optmethod, sgd_lr=cfg.G_sgd_lr,
+                                     sgd_momentum=cfg.G_sgd_momentum))
+
+    writer = MetricsWriter(cfg.save)
+    timer = StepTimer(writer, log_every=10, tag="epoch_time")
+
+    def save(completed_epoch):
+        tree = common.gan_to_tree(gs, {"vis_noise_inputs": vis_noise})
+        gio.save_checkpoint(ckpt_path, tree, config=cfg.to_dict(),
+                            extra={"epoch": completed_epoch})
+        print(f"<trainer> saving network to {ckpt_path}")
+
+    while True:
+        # fixed: the reference's inverted --epochs check stops immediately
+        # (train.lua:208; SURVEY.md quirk) — here it runs exactly N epochs
+        if 0 <= cfg.epochs < epoch:
+            print("<trainer> Last epoch reached.")
+            save(epoch - 1)
+            break
+        n_load = (cfg.N_epoch * cfg.batchSize // 2) * cfg.D_iterations
+        print(f"<trainer> Loading {n_load} new training images...")
+        train_data = jnp.asarray(dataset.load_random_images(n_load))
+
+        if not cfg.noplot:
+            visualize_progress(writer, G, D, gs, vis_noise, cfg, epoch,
+                               train_data)
+
+        key, sub = jax.random.split(key)
+        gs, confusion, (d_losses, g_losses) = T.train_epoch(
+            d_step, g_step, gs, train_data, sub,
+            batch_size=cfg.batchSize, n_batches=cfg.N_epoch,
+            d_iterations=cfg.D_iterations, g_iterations=cfg.G_iterations)
+        acc = float(confusion.total_valid)
+        print(f"<trainer> Epoch #{epoch} [batchSize = {cfg.batchSize}] "
+              f"D acc: {acc:.4f} d_loss: {float(d_losses.mean()):.4f} "
+              f"g_loss: {float(g_losses.mean()):.4f}")
+        writer.scalar("d_loss", float(d_losses.mean()), step=epoch)
+        writer.scalar("g_loss", float(g_losses.mean()), step=epoch)
+        writer.scalar("d_accuracy", acc, step=epoch)
+        timer.tick(epoch)
+
+        if epoch % cfg.saveFreq == 0:
+            save(epoch)
+        epoch += 1
+
+
+if __name__ == "__main__":
+    main()

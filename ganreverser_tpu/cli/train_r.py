@@ -1,0 +1,125 @@
+"""Reverser training CLI — train_r.lua.
+
+Loads the frozen G from the adversarial checkpoint (inheriting noiseDim/
+noiseMethod/height/width/colorSpace from its embedded config,
+train_r.lua:71-75), creates R (``--fixer`` adds the always-on input
+dropout), and runs the synthetic-pair loop: z -> G -> R -> MSE(ẑ, z), adam,
+periodic loss records, G->R->G preview grid every 25 batches, checkpoint
+every saveFreq (default 2000) batches.
+
+Usage:  python -m ganreverser_tpu.cli.train_r --G logs/adversarial --nbBatches 2000
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import io as gio
+from .. import models as M
+from .. import optim as O
+from .. import train as T
+from ..core.config import RConfig
+from ..core.prng import noise_inputs, seed_key
+from ..io.metrics import MetricsWriter, StepTimer
+from . import common
+
+
+def main(argv=None):
+    cfg = RConfig.from_args(argv, "Reverser training (train_r.lua)")
+    dtype = common.compute_dtype(cfg)
+    key = seed_key(cfg.seed)
+
+    # load frozen G, inherit geometry from its checkpoint (train_r.lua:66-75)
+    g_tree, g_cfg, g_extra = gio.load_checkpoint(cfg.G)
+    cfg.noiseDim = g_cfg["noiseDim"]
+    cfg.noiseMethod = g_cfg["noiseMethod"]
+    cfg.height = g_cfg["height"]
+    cfg.width = g_cfg["width"]
+    cfg.colorSpace = g_cfg["colorSpace"]
+    dims = cfg.img_dims()
+    c, h, w = dims
+
+    G = M.create_G(dims, cfg.noiseDim, dtype=dtype)
+    g_variables = {"params": g_tree["G"]["params"],
+                   "state": g_tree["G"]["state"]}
+
+    R = M.create_R(dims, cfg.noiseDim, cfg.noiseMethod, fixer=cfg.fixer,
+                   dtype=dtype)
+    if cfg.cont:
+        r_tree, _, _ = gio.load_checkpoint(cfg.cont)
+        ts = common.ts_from_tree(r_tree["R"])
+        print(f"<trainer> continuing R from {cfg.cont}")
+    else:
+        r_vars, _ = R.init(jax.random.fold_in(key, 2), (h, w, c))
+        ts = T.TrainState.create(r_vars, O.adam())
+
+    print(f"Number of free parameters in G: "
+          f"{M.count_parameters(g_variables['params'])}")
+    print(f"Number of free parameters in R: {M.count_parameters(ts.params)}")
+
+    step = T.make_r_train_step(
+        G, R, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,
+        noise_method=cfg.noiseMethod, r_l1=cfg.R_L1, r_l2=cfg.R_L2,
+        r_clamp=cfg.R_clamp)
+
+    writer = MetricsWriter(cfg.save, name="events_r")
+    timer = StepTimer(writer, log_every=100, tag="r_batch_time")
+    ckpt_path = gio.r_name(cfg.save, c, h, w, cfg.noiseDim, cfg.noiseMethod,
+                           cfg.fixer)
+
+    @jax.jit
+    def preview(gv, rv, z, rng):
+        imgs, _ = G.apply(gv, z, train=False)
+        if cfg.fixer:
+            z_hat, _ = R.apply(rv, imgs, train=False, rng=rng)
+        else:
+            z_hat, _ = R.apply(rv, imgs, train=False)
+        fixed, _ = G.apply(gv, z_hat, train=False)
+        return imgs, fixed
+
+    def save():
+        gio.save_checkpoint(ckpt_path, {"R": common.ts_to_tree(ts)},
+                            config=cfg.to_dict(),
+                            extra={"batch": int(ts.step)})
+        print(f"<trainer> saving network to {ckpt_path}")
+
+    losses = []
+    batch_idx = 1
+    while True:
+        if 0 <= cfg.nbBatches < batch_idx:
+            print("<trainer> Last batch reached.")
+            save()
+            break
+        key, sub = jax.random.split(key)
+        ts, loss = step(g_variables, ts, sub)
+        losses.append(float(loss))
+        timer.tick(batch_idx)
+
+        if batch_idx % 100 == 0:
+            lo, avg, hi = (np.min(losses[-100:]), np.mean(losses[-100:]),
+                           np.max(losses[-100:]))
+            print(f"<trainer> batch {batch_idx} loss "
+                  f"low/avg/high: {lo:.4f}/{avg:.4f}/{hi:.4f}")
+            writer.scalar("r_loss_low", lo, step=batch_idx)
+            writer.scalar("r_loss_avg", avg, step=batch_idx)
+            writer.scalar("r_loss_high", hi, step=batch_idx)
+        if batch_idx % 25 == 0 and not cfg.noplot:
+            # G->R->G round-trip preview grid (train_r.lua:207-218)
+            z = noise_inputs(jax.random.fold_in(key, 7), 16, cfg.noiseDim,
+                             cfg.noiseMethod)
+            imgs, fixed = preview(g_variables, ts.variables, z,
+                                  jax.random.fold_in(key, 8))
+            both = np.concatenate([common.to_nhwc_rgb(imgs, cfg.colorSpace),
+                                   common.to_nhwc_rgb(fixed, cfg.colorSpace)])
+            writer.image_grid("g_r_g", both, 4, 8, batch_idx,
+                              subdir="images_r")
+        if batch_idx % cfg.saveFreq == 0:
+            save()
+        batch_idx += 1
+
+
+if __name__ == "__main__":
+    main()

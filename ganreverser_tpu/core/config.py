@@ -161,38 +161,50 @@ class ApplyConfig(Config):
 
 @dataclass
 class PretrainGConfig(Config):
-    """Flags of pretrain_g.lua:12-35."""
+    """Flags of pretrain_g.lua:12-35 (defaults identical)."""
     save: str = _f("logs", "subdirectory to save logs")
-    batchSize: int = _f(32, "batch size")
-    epochs: int = _f(50, "number of epochs")
-    N_epoch: int = _f(100, "batches per epoch")
-    seed: int = _f(1, "RNG seed")
-    noiseDim: int = _f(32, "dimensionality of the bottleneck")
+    saveFreq: int = _f(30, "save every saveFreq epochs")
+    epochs: int = _f(-1, "stop after that many epochs (<0 = run forever; the reference's inverted check fixed, pretrain_g.lua:112)")
+    network: str = _f("", "reload a pretrained network")
+    noplot: bool = _f(False, "disable plots/artifacts")
+    batchSize: int = _f(128, "batch size")
+    N_epoch: int = _f(30, "batches per epoch")
+    G_L1: float = _f(0.0, "L1 penalty on the weights of G")
+    G_L2: float = _f(0.0, "L2 penalty on the weights of G")
+    G_clamp: float = _f(5.0, "clamp G gradients to +/- this")
+    G_optmethod: str = _f("adam", "adam|adagrad")
+    noiseDim: int = _f(100, "dimensionality of the bottleneck z")
     noiseMethod: str = _f("normal", "normal|uniform")
+    seed: int = _f(1, "RNG seed")
     colorSpace: str = _f("rgb", "rgb|yuv|hsl|y")
     height: int = _f(32, "image height")
     width: int = _f(32, "image width")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
-    lr: float = _f(0.001, "adam learning rate")
     compute_dtype: str = _f("float32", "compute dtype")
 
 
 @dataclass
 class PretrainPrevConfig(Config):
-    """Flags of pretrain_with_previous_net.lua:12-37."""
+    """Flags of pretrain_with_previous_net.lua:12-37 (defaults identical)."""
     save: str = _f("logs", "subdirectory to save logs")
-    oldNetwork: str = _f("logs/adversarial", "previous G+D checkpoint to distill from")
     batchSize: int = _f(32, "batch size")
-    epochs: int = _f(50, "number of epochs")
-    N_epoch: int = _f(100, "batches per epoch")
+    noplot: bool = _f(False, "disable plots/artifacts")
     seed: int = _f(1, "RNG seed")
-    noiseDim: int = _f(32, "new noise dimensionality")
-    noiseMethod: str = _f("normal", "normal|uniform")
+    saveFreq: int = _f(50, "save every saveFreq batches")
     colorSpace: str = _f("rgb", "new color space")
     height: int = _f(32, "new image height")
     width: int = _f(32, "new image width")
+    G_clamp: float = _f(5.0, "clamp G gradients to +/- this")
+    D_clamp: float = _f(1.0, "clamp D gradients to +/- this")
+    G_L1: float = _f(0.0, "L1 penalty on the weights of G")
+    G_L2: float = _f(0.0, "L2 penalty on the weights of G")
+    D_L1: float = _f(0.0, "L1 penalty on the weights of D")
+    D_L2: float = _f(1e-4, "L2 penalty on the weights of D")
+    noiseDim: int = _f(100, "new noise dimensionality")
+    noiseMethod: str = _f("normal", "normal|uniform")
+    network: str = _f("logs/adversarial", "previous G+D checkpoint to distill from")
+    N_batches: int = _f(1000, "number of distillation batches")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
-    lr: float = _f(0.001, "adam learning rate")
     compute_dtype: str = _f("float32", "compute dtype")
 
 

@@ -3,3 +3,7 @@ from .losses import bce, mse
 from .r_loop import make_r_train_step, make_r_eval_step, calibrate_batchnorm
 from .adversarial import (Confusion, Y_GENERATOR, Y_NOT_GENERATOR,
                           make_adversarial_steps, train_epoch)
+from .pretrain_ae import (decoder_variables, make_ae_train_step,
+                          make_autoencoder)
+from .pretrain_distill import (make_distill_d_step, make_distill_g_step,
+                               paired_noise)

@@ -1,0 +1,125 @@
+"""End-to-end pipeline integration test (SURVEY.md §4): tiny grayscale
+8x8 run of train -> train_r (plain + fixer) -> apply_r -> sample -> show ->
+pretrain_g -> pretrain_prev, asserting artifacts exist and metrics are
+finite. Everything runs through the real CLI mains on synthetic data."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.e2e
+
+GEOM = ["--colorSpace", "y", "--height", "8", "--width", "8",
+        "--dataset", "synthetic"]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("e2e"))
+
+
+@pytest.fixture(scope="module")
+def trained_gan(workdir):
+    from ganreverser_tpu.cli import train
+    save = os.path.join(workdir, "logs")
+    train.main(["--save", save, "--epochs", "2", "--N_epoch", "2",
+                "--batchSize", "8", "--noiseDim", "8", "--saveFreq", "1",
+                "--nopretraining"] + GEOM)
+    assert os.path.isfile(os.path.join(save, "adversarial", "manifest.json"))
+    return save
+
+
+def test_full_pipeline(workdir, trained_gan):
+    from ganreverser_tpu.cli import train_r, apply_r, sample, show
+    save = trained_gan
+    g_ckpt = os.path.join(save, "adversarial")
+
+    # --- train R (plain and fixer) on the frozen G ---
+    for fixer in ([], ["--fixer"]):
+        train_r.main(["--save", save, "--G", g_ckpt, "--nbBatches", "5",
+                      "--batchSize", "8", "--saveFreq", "5",
+                      "--dataset", "synthetic"] + fixer)
+    assert os.path.isfile(os.path.join(
+        save, "r_1x8x8_nd8_normal", "manifest.json"))
+    assert os.path.isfile(os.path.join(
+        save, "r_1x8x8_nd8_normal_fixer", "manifest.json"))
+
+    # --- apply_r full analysis suite + gradient refinement ---
+    out = os.path.join(workdir, "apply_out")
+    apply_r.main(["--save", save, "--G", g_ckpt, "--writeto", out,
+                  "--N", "250", "--clusters", "4", "--kmeans_iters", "3",
+                  "--needles", "2", "--anomalies_n", "64",
+                  "--batchSize", "32", "--refine_steps", "3"])
+    for f in ["variations.jpg", "similar_attributes_01.jpg",
+              "similar_pixelwise_02.jpg", "fixed_pairs.jpg",
+              "fixed_images_528.jpg", "fixed_images_528_unfixed.jpg",
+              "anomalies.jpg"]:
+        assert os.path.isfile(os.path.join(out, f)), f
+    clusters = [f for f in os.listdir(out) if f.startswith("cluster_")]
+    assert len(clusters) >= 1
+
+    # --- sample.lua equivalent ---
+    sout = os.path.join(workdir, "samples")
+    sample.main(["--network", g_ckpt, "--writeto", sout,
+                 "--dataset", "synthetic", "--neighbours"])
+    for f in ["trainset.jpg", "samples_256.jpg", "samples_1024.jpg",
+              "best_64.jpg", "worst_64.jpg", "random_64.jpg",
+              "neighbours.jpg"]:
+        assert os.path.isfile(os.path.join(sout, f)), f
+
+    # --- checkpoint inspector ---
+    show.main([g_ckpt])
+
+    # --- metrics written and finite ---
+    events = os.path.join(save, "events.jsonl")
+    assert os.path.isfile(events)
+    with open(events) as f:
+        records = [json.loads(l) for l in f]
+    assert records
+    assert all(np.isfinite(r["value"]) for r in records)
+
+
+def test_train_resume(workdir, trained_gan):
+    """--network resume restores epoch+1 and the fixed vis noise
+    (train.lua:110-125). Must run before test_pretrainers, which overwrites
+    the shared adversarial checkpoint with a different geometry."""
+    from ganreverser_tpu.cli import train
+    from ganreverser_tpu import io as gio
+    save = trained_gan
+    ck = os.path.join(save, "adversarial")
+    _, cfgd, extra0 = gio.load_checkpoint(ck)
+    train.main(["--save", save, "--network", ck, "--epochs",
+                str(int(extra0["epoch"]) + 1), "--N_epoch", "1",
+                "--batchSize", "8", "--noiseDim", "8", "--saveFreq", "1",
+                "--nopretraining"] + GEOM)
+    _, _, extra1 = gio.load_checkpoint(ck)
+    assert int(extra1["epoch"]) == int(extra0["epoch"]) + 1
+
+
+def test_pretrainers(workdir, trained_gan):
+    from ganreverser_tpu.cli import pretrain_g, pretrain_prev, train
+    save = trained_gan
+
+    # autoencoder warm start (decoder-only checkpoint)
+    pretrain_g.main(["--save", save, "--epochs", "1", "--N_epoch", "2",
+                     "--batchSize", "8", "--noiseDim", "8",
+                     "--saveFreq", "1"] + GEOM)
+    gpt = os.path.join(save, "g_pretrained_1x8x8_nd8")
+    assert os.path.isfile(os.path.join(gpt, "manifest.json"))
+
+    # net2net distillation to a larger geometry (8x8 y -> 8x8 rgb, nd 8->12)
+    pretrain_prev.main(["--save", save,
+                        "--network", os.path.join(save, "adversarial"),
+                        "--N_batches", "2", "--batchSize", "8",
+                        "--saveFreq", "5", "--noiseDim", "12",
+                        "--colorSpace", "rgb", "--height", "8",
+                        "--width", "8", "--dataset", "synthetic"])
+    pt = os.path.join(save, "pretrained_3x8x8_nd12")
+    assert os.path.isfile(os.path.join(pt, "manifest.json"))
+
+    # train.lua auto-loads the pretrained pair (train.lua:127-138)
+    train.main(["--save", save, "--epochs", "1", "--N_epoch", "1",
+                "--batchSize", "8", "--noiseDim", "12", "--saveFreq", "1",
+                "--colorSpace", "rgb", "--height", "8", "--width", "8",
+                "--dataset", "synthetic"])
