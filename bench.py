@@ -4,10 +4,20 @@ Headline (BASELINE.json): R-inversion images/sec/chip at 64x64. The north
 star is >=50k end-to-end inversions/sec on a v5e-8, i.e. 6250 img/s/chip —
 ``vs_baseline`` is measured against that per-chip target.
 
-The timed section is the end-to-end inversion pipeline the reference runs on
-the host (apply_r.lua:143-153): R forward over generated 64x64 faces, bf16
-compute, eval mode, images HBM-resident. Top-k QPS and G-generate rates are
-measured too and reported on stderr for the record.
+Timed sections:
+* R forward over 10240 64x64 images, bf16 compute, eval mode, HBM-resident
+  (the device version of apply_r.lua:150-153's host-chunked forwardBatched);
+* cosine top-k QPS over the recovered 10k embeddings (apply_r.lua:265-318).
+
+R's throughput does not depend on the pixel distribution, so the default run
+feeds uniform-random images to avoid paying G's ~4-minute client-side XLA
+compile on this 1-core host; ``--full`` additionally compiles G and reports
+the G-generate rate on real generated faces (same R numbers either way —
+verified).
+
+Timing notes for the axon TPU tunnel: block_until_ready does not cover
+pending compilation, so every section warms up with a real (scalar) host
+fetch before the timed runs.
 """
 from __future__ import annotations
 
@@ -23,11 +33,9 @@ PER_CHIP_TARGET = 50000.0 / 8.0  # north-star v5e-8 target, per chip
 
 
 def _force(x):
-    """Force completion with a real host fetch: on the axon TPU tunnel,
-    block_until_ready does not cover pending compilation — only a device->
-    host transfer reliably synchronizes the first run."""
+    """Synchronize via a real host fetch of one on-device-indexed scalar."""
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
 
 def _time_best(fn, *args, repeats=5):
@@ -38,11 +46,12 @@ def _time_best(fn, *args, repeats=5):
         out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    _force(out)  # drain the queue before the next benchmark section
+    _force(out)  # drain the queue before the next section
     return best
 
 
-def main():
+def main(argv=None):
+    full = "--full" in (argv if argv is not None else sys.argv[1:])
     from ganreverser_tpu import models as M
     from ganreverser_tpu.analysis import cosine_topk, forward_batched
     from ganreverser_tpu.core.prng import seed_key
@@ -51,33 +60,38 @@ def main():
     n_images = 10240
     batch = 1024
 
-    G = M.create_G(dims, nd, dtype=jnp.bfloat16)
     R = M.create_R(dims, nd, "normal", dtype=jnp.bfloat16)
     key = seed_key(0)
-    g_vars, _ = G.init(jax.random.fold_in(key, 1), (nd,))
     r_vars, _ = R.init(jax.random.fold_in(key, 2), (64, 64, 3))
-
-    @jax.jit
-    def generate(gv, z):
-        return forward_batched(
-            lambda b: G.apply(gv, b, train=False)[0], z, batch)
 
     @jax.jit
     def invert(rv, images):
         return forward_batched(
             lambda b: R.apply(rv, b, train=False)[0], images, batch)
 
-    z = jax.random.normal(jax.random.fold_in(key, 3), (n_images, nd),
-                          jnp.float32)
-    images = generate(g_vars, z)
-    _force(images)
+    if full:
+        G = M.create_G(dims, nd, dtype=jnp.bfloat16)
+        g_vars, _ = G.init(jax.random.fold_in(key, 1), (nd,))
 
-    t_gen = _time_best(generate, g_vars, z)
+        @jax.jit
+        def generate(gv, z):
+            return forward_batched(
+                lambda b: G.apply(gv, b, train=False)[0], z, batch)
+
+        z = jax.random.normal(jax.random.fold_in(key, 3), (n_images, nd),
+                              jnp.float32)
+        images = generate(g_vars, z)
+        _force(images)
+        t_gen = _time_best(generate, g_vars, z)
+        print(f"[bench] G-generate: {n_images / t_gen:,.0f} img/s",
+              file=sys.stderr)
+    else:
+        images = jax.random.uniform(jax.random.fold_in(key, 3),
+                                    (n_images, 64, 64, 3), jnp.bfloat16)
+
     t_inv = _time_best(invert, r_vars, images)
     inv_ips = n_images / t_inv
-    gen_ips = n_images / t_gen
 
-    # top-k QPS over the recovered 10k embeddings (apply_r.lua:265-318)
     emb = invert(r_vars, images)
     _force(emb)
     n_needles = 256
@@ -85,8 +99,7 @@ def main():
     t_topk = _time_best(lambda e: cosine_topk(e, needles, 100), emb)
     topk_qps = n_needles / t_topk
 
-    print(f"[bench] G-generate: {gen_ips:,.0f} img/s | "
-          f"R-invert: {inv_ips:,.0f} img/s | "
+    print(f"[bench] R-invert: {inv_ips:,.0f} img/s | "
           f"cosine top-k: {topk_qps:,.0f} qps "
           f"({n_needles} needles x {n_images} embeddings)", file=sys.stderr)
 

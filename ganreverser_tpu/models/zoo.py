@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .modules import (Activation, AvgPool, BatchNorm, Conv, ConcatBranches,
                       Dense, Dropout, Flatten, Identity, MaxPool, Module,
                       PReLU, Reshape, Residual, Sequential, SpatialDropout,
-                      UpsampleNearest)
+                      UpsampleConv, UpsampleNearest)
 
 Dims = tuple  # (C, H, W)
 
@@ -27,28 +27,43 @@ def _act(name: str):
     return Activation(name)
 
 
-def create_G(dimensions: Dims, noise_dim: int, dtype: Any = jnp.float32) -> Module:
+def create_G(dimensions: Dims, noise_dim: int, dtype: Any = jnp.float32,
+             fuse: bool = False) -> Module:
     """models.create_G == create_G3 (models.lua:201-203)."""
-    return create_G3(dimensions, noise_dim, dtype)
+    return create_G3(dimensions, noise_dim, dtype, fuse)
 
 
-def create_G3(dimensions: Dims, noise_dim: int, dtype: Any = jnp.float32) -> Module:
+def create_G3(dimensions: Dims, noise_dim: int, dtype: Any = jnp.float32,
+              fuse: bool = False) -> Module:
     """create_G3 (models.lua:104-143): z -> Linear -> BN -> ReLU -> reshape
     H/4 x W/4 x 512 -> 2x [NN-upsample x2 + 3x3 conv + BN + ReLU] -> 3x3 conv
-    -> Sigmoid. Output in [0, 1]."""
+    -> Sigmoid. Output in [0, 1].
+
+    ``fuse=True`` replaces each UpsampleNearest+Conv pair with the fused
+    UpsampleConv op (2.25x fewer MACs, same parameters & numerics up to
+    reassociation; ops/upsample_conv.py). Layer indices — and therefore
+    checkpoint pytree keys — are identical in both modes. Default OFF: on
+    TPU v5e the measured throughput of XLA's native upsample+conv pipeline
+    (22.5k img/s @64x64 b1024) beats the fused rewrite (11.5k img/s) — the
+    odd-size (H+1,W+1) intermediate and the pixel-shuffle transpose cost
+    more than the saved MACs."""
     c, h, w = dimensions
     sh, sw = h // 4, w // 4
+
+    def up_conv(features):
+        if fuse:
+            return [Identity(), UpsampleConv(features, dtype=dtype)]
+        return [UpsampleNearest(2), Conv(features, 3, dtype=dtype)]
+
     return Sequential([
         Dense(512 * sh * sw, dtype=dtype),
         BatchNorm(512 * sh * sw, dtype=dtype),
         _act("relu"),
         Reshape((sh, sw, 512)),
-        UpsampleNearest(2),
-        Conv(256, 3, dtype=dtype),
+        *up_conv(256),
         BatchNorm(256, dtype=dtype),
         _act("relu"),
-        UpsampleNearest(2),
-        Conv(128, 3, dtype=dtype),
+        *up_conv(128),
         BatchNorm(128, dtype=dtype),
         _act("relu"),
         Conv(c, 3, dtype=dtype),
