@@ -58,7 +58,7 @@ def main(argv=None):
 
     dims, nd = (3, 64, 64), 100
     n_images = 10240
-    batch = 1024
+    batch = 256  # fastest in the measured 256/512/1024/2048 sweep on v5e
 
     R = M.create_R(dims, nd, "normal", dtype=jnp.bfloat16)
     key = seed_key(0)
@@ -94,9 +94,21 @@ def main(argv=None):
 
     emb = invert(r_vars, images)
     _force(emb)
-    n_needles = 256
-    needles = jnp.arange(n_needles)
-    t_topk = _time_best(lambda e: cosine_topk(e, needles, 100), emb)
+    # Top-k QPS, amortized over a device-side loop: single-call timings on
+    # the axon tunnel are bounded by its ~28 ms dispatch round-trip, so 20
+    # query batches run inside one jitted fori_loop.
+    from ganreverser_tpu.analysis import cosine_scores
+    n_needles, iters = 256, 20
+
+    @jax.jit
+    def topk_loop(e):
+        def body(i, acc):
+            needles = (jnp.arange(n_needles) + i * n_needles) % e.shape[0]
+            v, idx = jax.lax.top_k(cosine_scores(e, needles), 100)
+            return acc + v[0, 0] + idx[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    t_topk = _time_best(topk_loop, emb) / iters
     topk_qps = n_needles / t_topk
 
     print(f"[bench] R-invert: {inv_ips:,.0f} img/s | "
@@ -104,7 +116,7 @@ def main(argv=None):
           f"({n_needles} needles x {n_images} embeddings)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "R-inversion images/sec/chip @64x64 (bf16, batch 1024)",
+        "metric": "R-inversion images/sec/chip @64x64 (bf16, batch 256)",
         "value": round(inv_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(inv_ips / PER_CHIP_TARGET, 3),

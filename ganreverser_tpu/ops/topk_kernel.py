@@ -1,0 +1,89 @@
+"""Pallas TPU kernel: fused normalize + cosine-score matmul.
+
+The similarity search's hot op (apply_r.lua:265-318 host loops ->
+analysis/similarity.py lax path). This kernel fuses the row-normalization
+epilogue into the MXU matmul so the (N, D) embedding matrix is read from HBM
+exactly once and no normalized copy is materialized:
+
+  scores[q, n] = <e[needle_q], e[n]> / (||e[needle_q]|| * ||e[n]||)
+
+Grid over N tiles; needles are gathered and normalized on-the-fly in VMEM.
+fp32 accumulation (preferred_element_type) for ranking parity with the lax
+reference (tested in tests/test_pallas.py, interpret mode on CPU + compiled
+on TPU). Top-k selection stays in lax.top_k — XLA's sort unit handles it.
+
+Escape hatch: analysis/similarity.py uses the lax path by default;
+``cosine_scores_pallas`` is opt-in via use_pallas=True or
+GANREVERSER_PALLAS=1.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8
+
+
+def _kernel(needles_ref, emb_ref, out_ref):
+    """needles_ref: (Q, D) VMEM; emb_ref: (TILE_N, D) VMEM;
+    out_ref: (Q, TILE_N) VMEM."""
+    q = needles_ref[:].astype(jnp.float32)
+    e = emb_ref[:].astype(jnp.float32)
+    # normalize both operands in VMEM (fused epilogue/prologue)
+    qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, axis=1,
+                                               keepdims=True), _EPS * _EPS))
+    en = e * jax.lax.rsqrt(jnp.maximum(jnp.sum(e * e, axis=1,
+                                               keepdims=True), _EPS * _EPS))
+    out_ref[:] = jax.lax.dot_general(
+        qn, en, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
+                         *, tile_n: int = 512,
+                         interpret: bool = False) -> jax.Array:
+    """(Q, N) cosine scores. N must be a multiple of tile_n (pad upstream).
+
+    NOTE: normalization clamps ||e||^2 at EPS^2 (the lax path clamps ||e||
+    at EPS) — identical behavior for all non-degenerate rows.
+    """
+    n, d = embeddings.shape
+    needles = jnp.take(embeddings, needle_idx, axis=0)
+    q = needles.shape[0]
+    assert n % tile_n == 0, (n, tile_n)
+
+    grid = (n // tile_n,)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
+        interpret=interpret,
+    )(needles, embeddings)
+
+
+def cosine_topk_pallas(embeddings: jax.Array, needle_idx: jax.Array, k: int,
+                       *, tile_n: int = 512, interpret: bool = False):
+    """Fused-kernel variant of analysis.similarity.cosine_topk; pads N up to
+    a tile multiple with -inf masking."""
+    n, d = embeddings.shape
+    pad = (-n) % tile_n
+    if pad:
+        embeddings = jnp.concatenate(
+            [embeddings, jnp.zeros((pad, d), embeddings.dtype)])
+    scores = cosine_scores_pallas(embeddings, needle_idx, tile_n=tile_n,
+                                  interpret=interpret)
+    if pad:
+        scores = scores[:, :n]
+    return jax.lax.top_k(scores, k)

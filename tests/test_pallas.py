@@ -1,0 +1,64 @@
+"""Pallas kernel parity tests vs the lax reference implementations
+(SURVEY.md §7 step 7: 'each lands only with a lax-composition reference
+test'). On CPU these run in interpret mode; the same code compiles on TPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganreverser_tpu import analysis as A
+from ganreverser_tpu.ops.topk_kernel import (cosine_scores_pallas,
+                                             cosine_topk_pallas)
+from ganreverser_tpu.ops.kmeans_kernel import kmeans_step_pallas
+
+
+def test_cosine_scores_kernel_matches_lax(key):
+    emb = jax.random.normal(key, (1024, 128))
+    needles = jnp.array([0, 17, 512])
+    ref = A.cosine_scores(emb, needles)
+    out = cosine_scores_pallas(emb, needles, tile_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cosine_topk_kernel_with_padding(key):
+    emb = jax.random.normal(key, (700, 64))  # not a tile multiple
+    needles = jnp.array([3, 99])
+    ref_v, ref_i = A.cosine_topk(emb, needles, 10)
+    v, i = cosine_topk_pallas(emb, needles, 10, tile_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_kmeans_step_kernel_matches_lax(key):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (1024, 32))
+    centroids = jax.random.normal(k2, (8, 32))
+
+    # lax reference: one Lloyd update
+    d = (jnp.sum(x * x, 1, keepdims=True)
+         - 2 * x @ centroids.T + jnp.sum(centroids * centroids, 1)[None])
+    assign = jnp.argmin(d, axis=1)
+    onehot = jax.nn.one_hot(assign, 8)
+    counts_ref = onehot.sum(0)
+    sums = onehot.T @ x
+    ref = jnp.where(counts_ref[:, None] > 0,
+                    sums / jnp.maximum(counts_ref, 1.0)[:, None], centroids)
+
+    new_c, counts = kmeans_step_pallas(x, centroids, tile_n=256,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(counts_ref))
+    np.testing.assert_allclose(np.asarray(new_c), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kmeans_step_kernel_empty_cluster(key):
+    """A centroid far from all points keeps its position."""
+    x = jax.random.normal(key, (256, 16))
+    centroids = jnp.concatenate([jnp.zeros((1, 16)),
+                                 jnp.full((1, 16), 1e6)])
+    new_c, counts = kmeans_step_pallas(x, centroids, tile_n=256,
+                                       interpret=True)
+    assert float(counts[1]) == 0.0
+    np.testing.assert_allclose(np.asarray(new_c[1]), 1e6)
