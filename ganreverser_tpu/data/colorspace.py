@@ -45,6 +45,12 @@ def yuv2rgb(images: np.ndarray) -> np.ndarray:
     return (images @ _RGB_FROM_YUV.T).astype(np.float32)
 
 
+def _native_or(fn_native, fn_numpy, images):
+    """Prefer the C++ image-ops library (native/imageops.cc) when built."""
+    out = fn_native(images)
+    return out if out is not None else fn_numpy(images)
+
+
 def rgb2hsl(images: np.ndarray) -> np.ndarray:
     r, g, b = images[..., 0], images[..., 1], images[..., 2]
     mx = np.max(images, axis=-1)
@@ -87,12 +93,13 @@ def hsl2rgb(images: np.ndarray) -> np.ndarray:
 def rgb_to_colorspace(images: np.ndarray, colorspace: str) -> np.ndarray:
     """NN_UTILS.rgbToColorSpace (nn_utils.lua:191-217). NHWC in, NHWC out
     (C=1 for 'y')."""
+    from ..native import imageops as _n
     if colorspace == "rgb":
         return images
     if colorspace == "y":
-        return rgb2y(images)
+        return _native_or(_n.rgb2y_native, rgb2y, images)
     if colorspace == "yuv":
-        return rgb2yuv(images)
+        return _native_or(_n.rgb2yuv_native, rgb2yuv, images)
     if colorspace == "hsl":
         return rgb2hsl(images)
     raise ValueError(f"Unknown color space {colorspace!r}")
@@ -100,12 +107,13 @@ def rgb_to_colorspace(images: np.ndarray, colorspace: str) -> np.ndarray:
 
 def to_rgb(images: np.ndarray, colorspace: str) -> np.ndarray:
     """NN_UTILS.toRgb (nn_utils.lua:146-167)."""
+    from ..native import imageops as _n
     if colorspace == "rgb":
         return images
     if colorspace == "y":
         return np.repeat(images, 3, axis=-1)
     if colorspace == "yuv":
-        return yuv2rgb(images)
+        return _native_or(_n.yuv2rgb_native, yuv2rgb, images)
     if colorspace == "hsl":
         return hsl2rgb(images)
     raise ValueError(f"Unknown color space {colorspace!r}")

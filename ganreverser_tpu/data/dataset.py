@@ -36,12 +36,16 @@ def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
 
 
 def _decode_resize(path: str, height: int, width: int) -> np.ndarray:
+    """JPEG decode (PIL's native codec) + bilinear resize via the C++
+    image-ops library (native/imageops.cc; numpy fallback inside)."""
     from PIL import Image
+    from ..native import resize_bilinear_batch
     with Image.open(path) as im:
         im = im.convert("RGB")
-        if im.size != (width, height):
-            im = im.resize((width, height), Image.BILINEAR)
-        return np.asarray(im, np.float32) / 255.0
+        arr = np.asarray(im, np.float32) / 255.0
+    if arr.shape[:2] != (height, width):
+        arr = resize_bilinear_batch(arr[None], height, width)[0]
+    return arr
 
 
 class Dataset:
@@ -99,9 +103,11 @@ class Dataset:
 
 
 def normalize_images(images: np.ndarray):
-    """NN_UTILS.normalize (nn_utils.lua:324-379): map [0,1] -> [-1,1], clamp;
-    returns the reference's dummy (0.5, 0.5)."""
-    images *= 2.0
-    images -= 1.0
-    np.clip(images, -1.0, 1.0, out=images)
+    """NN_UTILS.normalize (nn_utils.lua:324-379): map [0,1] -> [-1,1], clamp
+    in place; returns the reference's dummy (0.5, 0.5)."""
+    from ..native import normalize_pm1_inplace
+    if not normalize_pm1_inplace(images):
+        images *= 2.0
+        images -= 1.0
+        np.clip(images, -1.0, 1.0, out=images)
     return 0.5, 0.5

@@ -34,10 +34,13 @@ def images_to_grid(images: np.ndarray, height: int, width: int,
     images = np.asarray(images, np.float32)
     n, ih, iw, c = images.shape
     strip = (1 + 5 + 1) if epoch is not None else 0
-    grid = np.zeros((height * ih + strip, width * iw, c), np.float32)
-    for i in range(min(n, height * width)):
-        gy, gx = divmod(i, width)
-        grid[gy * ih:(gy + 1) * ih, gx * iw:(gx + 1) * iw] = images[i]
+    from ..native import imageops as _n
+    grid = _n.assemble_grid(images, height, width, strip)
+    if grid is None:  # numpy fallback without the C++ library
+        grid = np.zeros((height * ih + strip, width * iw, c), np.float32)
+        for i in range(min(n, height * width)):
+            gy, gx = divmod(i, width)
+            grid[gy * ih:(gy + 1) * ih, gx * iw:(gx + 1) * iw] = images[i]
     if epoch is not None:
         _stamp_epoch(grid, int(epoch))
     return grid

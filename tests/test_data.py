@@ -1,0 +1,131 @@
+"""Data pipeline tests: color-space conversions (incl. the custom 0.21/0.72/
+0.07 rgb2y, nn_utils.lua:221-246), round trips, normalize, directory scan
+ordering (dataset.lua:67-93), synthetic faces, prefetcher, grid renderer with
+the epoch bitmap stamp (nn_utils.lua:429-535), config round-trips."""
+import os
+
+import numpy as np
+import pytest
+
+from ganreverser_tpu import data as D
+from ganreverser_tpu.core.config import GanConfig, RConfig
+from ganreverser_tpu.utils import grids
+
+
+def test_rgb2y_custom_weights(rng):
+    x = rng.random((2, 4, 4, 3), np.float32)
+    y = D.rgb2y(x)
+    ref = 0.21 * x[..., 0] + 0.72 * x[..., 1] + 0.07 * x[..., 2]
+    np.testing.assert_allclose(y[..., 0], ref, rtol=1e-6)
+    y3 = D.rgb2y(x, three_channels=True)
+    assert y3.shape == (2, 4, 4, 3)
+
+
+def test_yuv_roundtrip(rng):
+    x = rng.random((2, 4, 4, 3), np.float32)
+    back = D.yuv2rgb(D.rgb2yuv(x))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_hsl_roundtrip(rng):
+    x = rng.random((2, 8, 8, 3), np.float32)
+    back = D.hsl2rgb(D.rgb2hsl(x))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+    # known values: pure red -> h=0, s=1, l=0.5
+    red = np.zeros((1, 1, 1, 3), np.float32)
+    red[..., 0] = 1.0
+    hsl = D.rgb2hsl(red)[0, 0, 0]
+    assert hsl[0] == pytest.approx(0.0)
+    assert hsl[1] == pytest.approx(1.0)
+    assert hsl[2] == pytest.approx(0.5)
+
+
+def test_switch_colorspace(rng):
+    x = rng.random((2, 4, 4, 3), np.float32)
+    out = D.switch_colorspace(D.rgb_to_colorspace(x, "yuv"), "yuv", "y")
+    assert out.shape == (2, 4, 4, 1)
+
+
+def test_normalize_pm1(rng):
+    x = (rng.random((3, 4), np.float32) * 1.5).astype(np.float32)
+    orig = x.copy()
+    mean, std = D.normalize_images(x)
+    assert (mean, std) == (0.5, 0.5)  # reference dummy values
+    np.testing.assert_allclose(x, np.clip(orig * 2 - 1, -1, 1), rtol=1e-6)
+
+
+def test_scan_sorted(tmp_path):
+    for name in ["c.jpg", "a.jpg", "b.jpg", "skip.png"]:
+        (tmp_path / name).write_bytes(b"x")
+    paths = D.scan_image_paths([str(tmp_path)], "jpg")
+    assert [os.path.basename(p) for p in paths] == ["a.jpg", "b.jpg", "c.jpg"]
+    with pytest.raises(FileNotFoundError):
+        D.scan_image_paths([str(tmp_path)], "gif")
+
+
+def test_dataset_jpg_loading(tmp_path, rng):
+    from PIL import Image
+    for i in range(4):
+        arr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.jpg")
+    ds = D.Dataset([str(tmp_path)], height=8, width=8, colorspace="y")
+    assert ds.size() == 4
+    imgs = ds.load_images(0, 3)
+    assert imgs.shape == (3, 8, 8, 1)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    rnd = ds.load_random_images(10)  # capped at dataset size
+    assert rnd.shape == (4, 8, 8, 1)
+
+
+def test_synthetic_faces(rng):
+    faces = D.synthetic_faces(6, 16, 16, rng)
+    assert faces.shape == (6, 16, 16, 3)
+    assert faces.min() >= 0.0 and faces.max() <= 1.0
+    # faces vary
+    assert np.std(faces, axis=0).mean() > 0.01
+
+
+def test_prefetch(rng):
+    import jax
+    batches = list(D.prefetch_to_device(
+        lambda i: np.full((2, 2), i, np.float32), 5))
+    assert len(batches) == 5
+    assert float(batches[3][0, 0]) == 3.0
+
+
+def test_grid_epoch_stamp():
+    imgs = np.ones((4, 8, 8, 1), np.float32) * 0.5
+    g = grids.images_to_grid(imgs, 2, 2, epoch=42)
+    assert g.shape == (2 * 8 + 7, 2 * 8, 1)
+    # digit pixels of '42' present in the bottom strip
+    strip = g[-6:-1]
+    assert strip.max() == 1.0
+    # '4' and '2' bitmaps appear right-to-left: rightmost digit is 2
+    x0 = g.shape[1] - 1 - 5 - 1
+    np.testing.assert_allclose(strip[:, x0:x0 + 3, 0],
+                               grids.CHAR_TENSORS[2])
+
+
+def test_add_border():
+    img = np.zeros((4, 4, 3), np.float32)
+    out = grids.add_border(img, grids.BLUE)
+    assert out[0, 0, 2] == 1.0 and out[0, 0, 0] == 0.0
+    assert out[2, 2].sum() == 0.0  # interior untouched
+    gray = np.zeros((4, 4, 1), np.float32)
+    outg = grids.add_border(gray, grids.RED)
+    assert outg.shape == (4, 4, 1)
+
+
+def test_config_roundtrip():
+    cfg = GanConfig(noiseDim=64, colorSpace="y", height=16, width=16)
+    cfg2 = GanConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.img_dims() == (1, 16, 16)
+    r = RConfig.from_dict({"noiseDim": 7, "unknown_key": 1})
+    assert r.noiseDim == 7  # unknown keys ignored (forward compat)
+
+
+def test_config_argparse():
+    cfg = GanConfig.from_args(["--noiseDim", "12", "--nopretraining"])
+    assert cfg.noiseDim == 12 and cfg.nopretraining is True
+    assert cfg.batchSize == 32  # reference default (train.lua:27)
