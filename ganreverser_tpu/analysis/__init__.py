@@ -6,3 +6,5 @@ from .kmeans import (assign_euclidean, assign_min_cosine, cluster_members,
 from .pipeline import (anomaly_scores, anomaly_threshold, detect_anomalies,
                        fix_images, generate_and_invert, variation_sweep)
 from .refine import make_refiner
+from .distributed import (distributed_cosine_topk,
+                          distributed_generate_and_invert)

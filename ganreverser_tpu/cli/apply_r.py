@@ -109,8 +109,17 @@ def main(argv=None):
 
     # --- ③ clustering (apply_r.lua:158-163, 197-260) ---
     print("Clustering...")
-    centroids, counts = A.kmeans(jax.random.fold_in(key, 3), attributes,
-                                 cfg.clusters, cfg.kmeans_iters)
+    if cfg.pallas:
+        from ..ops.kmeans_kernel import kmeans_pallas
+        tile = min(512, attributes.shape[0])
+        padded_n = -(-attributes.shape[0] // tile) * tile
+        attrs_k = jnp.resize(attributes, (padded_n, attributes.shape[1]))
+        centroids, counts = kmeans_pallas(
+            jax.random.fold_in(key, 3), attrs_k, cfg.clusters,
+            cfg.kmeans_iters, tile_n=tile)
+    else:
+        centroids, counts = A.kmeans(jax.random.fold_in(key, 3), attributes,
+                                     cfg.clusters, cfg.kmeans_iters)
     assign, sims = A.assign_min_cosine(attributes, centroids)
     images_host = rgb(images)
     for ci in range(cfg.clusters):
@@ -126,9 +135,16 @@ def main(argv=None):
     # --- ④ similarity search (apply_r.lua:169-172, 265-318) ---
     print("Finding faces by similarity...")
     needles = jnp.array([(i + 1) * 100 - 1 for i in range(cfg.needles)])
-    for tag, (scores, idx) in (
-            ("attributes", A.cosine_topk(attributes, needles, 100)),
-            ("pixelwise", A.pixel_cosine_topk(images, needles, 100))):
+    if cfg.pallas:
+        from ..ops.topk_kernel import cosine_topk_pallas
+        attr_topk = cosine_topk_pallas(attributes, needles, 100)
+        pix_topk = cosine_topk_pallas(
+            images.reshape(images.shape[0], -1), needles, 100)
+    else:
+        attr_topk = A.cosine_topk(attributes, needles, 100)
+        pix_topk = A.pixel_cosine_topk(images, needles, 100)
+    for tag, (scores, idx) in (("attributes", attr_topk),
+                               ("pixelwise", pix_topk)):
         idx = np.asarray(idx)
         for i in range(cfg.needles):
             tiles = images_host[idx[i]]

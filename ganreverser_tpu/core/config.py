@@ -156,6 +156,7 @@ class ApplyConfig(Config):
     seed: int = _f(1, "RNG seed")
     refine_steps: int = _f(0, "gradient-based latent refinement steps (new; 0 = off)")
     refine_lr: float = _f(0.05, "refinement learning rate (adam on z)")
+    pallas: bool = _f(False, "use the Pallas fused kernels for kmeans and cosine search (ops/); default lax")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
 
 

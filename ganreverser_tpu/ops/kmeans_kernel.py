@@ -49,9 +49,11 @@ def _kernel(x_ref, c_ref, sums_ref, counts_ref):
 
 
 def kmeans_step_pallas(x: jax.Array, centroids: jax.Array, *,
-                       tile_n: int = 512, interpret: bool = False):
+                       tile_n: int = 512, interpret=None):
     """One fused Lloyd update. x: (N, D), centroids: (K, D); N % tile_n == 0.
     Returns (new_centroids, counts); empty clusters keep their centroid."""
+    from .topk_kernel import _auto_interpret
+    interpret = _auto_interpret(interpret)
     n, d = x.shape
     k = centroids.shape[0]
     assert n % tile_n == 0, (n, tile_n)
@@ -83,7 +85,7 @@ def kmeans_step_pallas(x: jax.Array, centroids: jax.Array, *,
 
 
 def kmeans_pallas(key: jax.Array, x: jax.Array, k: int, iters: int, *,
-                  tile_n: int = 512, interpret: bool = False):
+                  tile_n: int = 512, interpret=None):
     """Full kmeans with the fused step; same init as analysis.kmeans.kmeans
     (random data points). Pads N up to a tile multiple by repeating row 0
     weight-free? No — requires N % tile_n == 0; pad upstream if needed."""

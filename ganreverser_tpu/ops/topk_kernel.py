@@ -43,14 +43,23 @@ def _kernel(needles_ref, emb_ref, out_ref):
         preferred_element_type=jnp.float32)
 
 
+def _auto_interpret(interpret):
+    """Pallas compiles only for TPU; on any other backend fall back to the
+    interpreter so the same code path works in CPU tests/CLIs."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
                          *, tile_n: int = 512,
-                         interpret: bool = False) -> jax.Array:
+                         interpret=None) -> jax.Array:
     """(Q, N) cosine scores. N must be a multiple of tile_n (pad upstream).
 
     NOTE: normalization clamps ||e||^2 at EPS^2 (the lax path clamps ||e||
     at EPS) — identical behavior for all non-degenerate rows.
     """
+    interpret = _auto_interpret(interpret)
     n, d = embeddings.shape
     needles = jnp.take(embeddings, needle_idx, axis=0)
     q = needles.shape[0]
@@ -74,7 +83,7 @@ def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
 
 
 def cosine_topk_pallas(embeddings: jax.Array, needle_idx: jax.Array, k: int,
-                       *, tile_n: int = 512, interpret: bool = False):
+                       *, tile_n: int = 512, interpret=None):
     """Fused-kernel variant of analysis.similarity.cosine_topk; pads N up to
     a tile multiple with -inf masking."""
     n, d = embeddings.shape

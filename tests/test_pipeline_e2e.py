@@ -59,6 +59,14 @@ def test_full_pipeline(workdir, trained_gan):
     clusters = [f for f in os.listdir(out) if f.startswith("cluster_")]
     assert len(clusters) >= 1
 
+    # same suite through the Pallas kernels (interpret mode on CPU)
+    out_p = os.path.join(workdir, "apply_out_pallas")
+    apply_r.main(["--save", save, "--G", g_ckpt, "--writeto", out_p,
+                  "--N", "250", "--clusters", "4", "--kmeans_iters", "2",
+                  "--needles", "2", "--anomalies_n", "64",
+                  "--batchSize", "32", "--pallas"])
+    assert os.path.isfile(os.path.join(out_p, "similar_attributes_01.jpg"))
+
     # --- sample.lua equivalent ---
     sout = os.path.join(workdir, "samples")
     sample.main(["--network", g_ckpt, "--writeto", sout,
