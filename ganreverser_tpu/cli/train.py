@@ -71,6 +71,11 @@ def main(argv=None):
     epoch = 1
     vis_noise = None
 
+    if cfg.network == "latest" and gio.exists(ckpt_path):
+        # resume-from-latest convenience (SURVEY.md §5.3)
+        cfg.network = ckpt_path
+    elif cfg.network == "latest":
+        cfg.network = ""
     if cfg.network:
         # resume (train.lua:110-125): restores epoch+1 and the fixed vis noise
         tree, saved_cfg, extra = gio.load_checkpoint(
@@ -163,14 +168,18 @@ def main(argv=None):
                                train_data)
 
         key, sub = jax.random.split(key)
-        gs, confusion, (d_losses, g_losses) = T.train_epoch(
-            d_step, g_step, gs, train_data, sub,
-            batch_size=cfg.batchSize, n_batches=cfg.N_epoch,
-            d_iterations=cfg.D_iterations, g_iterations=cfg.G_iterations)
+        from ..io.metrics import profiler_trace
+        with profiler_trace(cfg.profile_dir if epoch == 2 else None):
+            gs, confusion, (d_losses, g_losses) = T.train_epoch(
+                d_step, g_step, gs, train_data, sub,
+                batch_size=cfg.batchSize, n_batches=cfg.N_epoch,
+                d_iterations=cfg.D_iterations,
+                g_iterations=cfg.G_iterations)
         acc = float(confusion.total_valid)
         print(f"<trainer> Epoch #{epoch} [batchSize = {cfg.batchSize}] "
-              f"D acc: {acc:.4f} d_loss: {float(d_losses.mean()):.4f} "
+              f"d_loss: {float(d_losses.mean()):.4f} "
               f"g_loss: {float(g_losses.mean()):.4f}")
+        print(confusion.render())  # adversarial.lua:199-203
         writer.scalar("d_loss", float(d_losses.mean()), step=epoch)
         writer.scalar("g_loss", float(g_losses.mean()), step=epoch)
         writer.scalar("d_accuracy", acc, step=epoch)

@@ -109,6 +109,7 @@ class GanConfig(Config):
     mesh_data: int = _f(0, "data-parallel mesh axis size (0 = all devices)")
     mesh_model: int = _f(1, "tensor-parallel mesh axis size")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
+    profile_dir: str = _f("", "write a jax.profiler trace of one epoch here")
 
 
 @dataclass

@@ -23,6 +23,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.prng import noise_inputs
 from ..models.modules import Module
@@ -57,6 +58,16 @@ class Confusion:
         """CONFUSION.totalValid — overall accuracy (adversarial.lua:201)."""
         c = self.counts.astype(jnp.float32)
         return (c[0, 0] + c[1, 1]) / jnp.maximum(jnp.sum(c), 1.0)
+
+    def render(self) -> str:
+        """Printable matrix like optim.ConfusionMatrix (adversarial.lua:200).
+        Rows = actual class (0=generated, 1=real), columns = predicted."""
+        c = np.asarray(jax.device_get(self.counts))
+        tv = float(self.total_valid)
+        return ("ConfusionMatrix:\n"
+                f"  [[{c[0, 0]:6d} {c[0, 1]:6d}]   0 (generated)\n"
+                f"   [{c[1, 0]:6d} {c[1, 1]:6d}]]  1 (real)\n"
+                f"  accuracy (totalValid): {tv:.4f}")
 
 
 def make_adversarial_steps(G: Module, D: Module, *, batch_size: int,
