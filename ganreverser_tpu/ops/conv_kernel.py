@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: fused 3x3 conv + BatchNorm(eval) + activation.
+
+The inference building block of G/D/R (models.lua's SpatialConvolution +
+SpatialBatchNormalization + ReLU/ELU stacks). The conv is expressed as nine
+shifted (N*H*W, Ci) x (Ci, Co) MXU matmuls over a VMEM-resident batch tile,
+with the eval-mode BatchNorm folded to a per-channel scale/shift epilogue and
+the activation applied before the single write-back to HBM — one HBM round
+trip for the whole conv+BN+act block.
+
+Eval-mode only (running statistics folded on the host; training BN needs
+batch statistics, which stay on the lax path). Parity tests vs the module
+composition: tests/test_pallas.py. Like the other Pallas ops this is an
+opt-in alternative — XLA's cuDNN-class conv emitter remains the default.
+
+STATUS: experimental on real TPU — with jax 0.9.0's Mosaic, the fp32
+accumulator for useful tile sizes exceeds the 16MB scoped-vmem limit
+(tile_n=8 at 64x64x64 needs 34.5MB) and smaller spatial-odd tiles compile
+pathologically slowly; the kernel is verified in interpret mode and kept as
+the fusion blueprint. Keep tile_n * H * W * Co * 4B well under VMEM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(h: int, w: int, act: str):
+    def kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref):
+        """x_ref: (T, H+2, W+2, Ci) pre-padded; w_ref: (9, Ci, Co);
+        scale/shift: (1, Co); out: (T, H, W, Co)."""
+        t = x_ref.shape[0]
+        ci = x_ref.shape[-1]
+        co = w_ref.shape[-1]
+        acc = jnp.zeros((t * h * w, co), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                patch = x_ref[:, ky:ky + h, kx:kx + w, :]
+                acc += jax.lax.dot_general(
+                    patch.reshape(t * h * w, ci).astype(jnp.float32),
+                    w_ref[ky * 3 + kx].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        y = acc * scale_ref[0] + shift_ref[0]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "elu":
+            # expm1 has no Mosaic lowering; exp(y)-1 on the clamped negative
+            # side is exact to fp32 rounding for the ELU range
+            y = jnp.where(y > 0, y, jnp.exp(jnp.minimum(y, 0.0)) - 1.0)
+        elif act != "none":
+            raise ValueError(act)
+        out_ref[:] = y.reshape(t, h, w, co).astype(out_ref.dtype)
+
+    return kernel
+
+
+def fold_batchnorm(bn_params: dict, bn_state: dict, conv_bias: jax.Array,
+                   eps: float = 1e-5):
+    """Fold conv bias + eval-mode BN into per-channel (scale, shift):
+    y = (conv + bias - mean) * g/sqrt(var+eps) + b."""
+    g = bn_params["scale"].astype(jnp.float32)
+    b = bn_params["bias"].astype(jnp.float32)
+    mean = bn_state["mean"].astype(jnp.float32)
+    var = bn_state["var"].astype(jnp.float32)
+    inv = g * jax.lax.rsqrt(var + eps)
+    scale = inv
+    shift = (conv_bias.astype(jnp.float32) - mean) * inv + b
+    return scale, shift
+
+
+def conv3x3_bn_act(x: jax.Array, kernel: jax.Array, scale: jax.Array,
+                   shift: jax.Array, *, act: str = "relu",
+                   tile_n: int = 8, interpret=None,
+                   out_dtype=None) -> jax.Array:
+    """x: (N, H, W, Ci); kernel: (3, 3, Ci, Co); scale/shift: (Co,).
+    N must be a multiple of tile_n."""
+    from .topk_kernel import _auto_interpret
+    interpret = _auto_interpret(interpret)
+    n, h, w, ci = x.shape
+    co = kernel.shape[-1]
+    assert n % tile_n == 0, (n, tile_n)
+    out_dtype = out_dtype or x.dtype
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w9 = kernel.reshape(9, ci, co)
+    scale2 = scale.reshape(1, co).astype(jnp.float32)
+    shift2 = shift.reshape(1, co).astype(jnp.float32)
+
+    return pl.pallas_call(
+        _make_kernel(h, w, act),
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, h + 2, w + 2, ci), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, ci, co), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, h, w, co), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, co), out_dtype),
+        interpret=interpret,
+    )(xp, w9, scale2, shift2)

@@ -53,6 +53,42 @@ def test_kmeans_step_kernel_matches_lax(key):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv_bn_act_kernel_matches_modules(key):
+    """Fused conv3x3+BN(eval)+act vs the Conv -> BatchNorm -> Activation
+    module composition with the same parameters."""
+    from ganreverser_tpu.ops.conv_kernel import conv3x3_bn_act, fold_batchnorm
+    from ganreverser_tpu import models as M
+
+    seq = M.Sequential([M.Conv(16, 3), M.BatchNorm(16), M.Activation("elu")])
+    variables, _ = seq.init(key, (8, 8, 4))
+    # non-trivial BN stats
+    variables["state"]["l1"]["mean"] = jax.random.normal(
+        jax.random.fold_in(key, 9), (16,)) * 0.1
+    variables["state"]["l1"]["var"] = jnp.abs(jax.random.normal(
+        jax.random.fold_in(key, 10), (16,))) + 0.5
+
+    x = jax.random.normal(jax.random.fold_in(key, 1), (4, 8, 8, 4))
+    ref, _ = seq.apply(variables, x, train=False)
+
+    scale, shift = fold_batchnorm(variables["params"]["l1"],
+                                  variables["state"]["l1"],
+                                  variables["params"]["l0"]["bias"])
+    out = conv3x3_bn_act(x, variables["params"]["l0"]["kernel"],
+                         scale, shift, act="elu", tile_n=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv_bn_act_kernel_relu(key):
+    from ganreverser_tpu.ops.conv_kernel import conv3x3_bn_act
+    x = jax.random.normal(key, (2, 4, 4, 3))
+    kern = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, 8))
+    out = conv3x3_bn_act(x, kern, jnp.ones((8,)), jnp.zeros((8,)),
+                         act="relu", tile_n=2, interpret=True)
+    assert out.shape == (2, 4, 4, 8)
+    assert float(out.min()) >= 0.0
+
+
 def test_kmeans_step_kernel_empty_cluster(key):
     """A centroid far from all points keeps its position."""
     x = jax.random.normal(key, (256, 16))
