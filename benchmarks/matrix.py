@@ -1,0 +1,216 @@
+"""Benchmark matrix — the five BASELINE.json configs (SURVEY.md §6).
+
+  1. grayscale 32x32, z=32: G+R forward inversion, batch 64 (CPU-runnable)
+  2. RGB 64x64, z=100: full G/D adversarial + R training step rates
+  3. 10k-face batch inversion -> cosine top-k + kmeans-20 pipeline
+  4. G∘R image fixing + anomaly detection over 10k faces
+  5. 128x128 RGB, z=256 gradient-based latent optimization
+
+Usage:
+  python benchmarks/matrix.py                 # all configs
+  python benchmarks/matrix.py 1 3             # a subset
+  python benchmarks/matrix.py 1 --cpu         # force the CPU backend
+
+Each config prints one JSON line: {"config": N, "metric": ..., "value": ...,
+"unit": ...}. bench.py (repo root) remains the driver's single-line headline.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _force(x):
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+
+def _time_best(fn, *args, repeats=3):
+    import jax
+    _force(fn(*args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    _force(out)
+    return best
+
+
+def _emit(config, metric, value, unit, **extra):
+    rec = {"config": config, "metric": metric, "value": round(value, 2),
+           "unit": unit}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def config1():
+    """Grayscale 32x32, z=32, batch 64: G+R forward inversion (the minimum
+    end-to-end slice, SURVEY.md §7 step 2)."""
+    import jax, jax.numpy as jnp
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.core.prng import seed_key
+
+    G = M.create_G((1, 32, 32), 32)
+    R = M.create_R((1, 32, 32), 32, "normal")
+    key = seed_key(0)
+    gv, _ = G.init(jax.random.fold_in(key, 1), (32,))
+    rv, _ = R.init(jax.random.fold_in(key, 2), (32, 32, 1))
+
+    @jax.jit
+    def invert(gv, rv, z):
+        imgs, _ = G.apply(gv, z, train=False)
+        zh, _ = R.apply(rv, imgs, train=False)
+        return zh
+
+    z = jax.random.normal(jax.random.fold_in(key, 3), (64, 32))
+    t = _time_best(invert, gv, rv, z)
+    _emit(1, "G+R inversion 1x32x32 z=32 b64", 64 / t, "img/s")
+
+
+def config2():
+    """RGB 64x64, z=100: adversarial D+G step rate and R train-step rate."""
+    import jax, jax.numpy as jnp
+    from ganreverser_tpu import models as M, optim as O, train as T
+    from ganreverser_tpu.core.prng import seed_key
+
+    dims, nd, batch = (3, 64, 64), 100, 32
+    G = M.create_G(dims, nd)
+    D = M.create_D(dims)
+    R = M.create_R(dims, nd, "normal")
+    key = seed_key(0)
+    gs = T.GanState(
+        g=T.create_train_state(G, O.adam(), jax.random.fold_in(key, 1),
+                               (nd,)),
+        d=T.create_train_state(D, O.adam(), jax.random.fold_in(key, 2),
+                               (64, 64, 3)))
+    r_ts = T.create_train_state(R, O.adam(), jax.random.fold_in(key, 3),
+                                (64, 64, 3))
+    d_step, g_step = T.make_adversarial_steps(
+        G, D, batch_size=batch, noise_dim=nd, noise_method="normal")
+    real = jax.random.uniform(jax.random.fold_in(key, 4),
+                              (batch // 2, 64, 64, 3))
+
+    def adv(gs):
+        gs, conf, d_loss = d_step(gs, real, T.Confusion.zero(),
+                                  jax.random.fold_in(key, 5))
+        gs, g_loss = g_step(gs, jax.random.fold_in(key, 6))
+        return gs, d_loss, g_loss
+
+    t = _time_best(adv, gs)
+    _emit(2, "adversarial D+G step 3x64x64 z=100 b32", batch / t, "img/s",
+          step_ms=round(t * 1e3, 2))
+
+    r_step = T.make_r_train_step(G, R, batch_size=batch, noise_dim=nd,
+                                 noise_method="normal")
+    t = _time_best(r_step, gs.g.variables, r_ts, jax.random.fold_in(key, 7))
+    _emit(2, "R train step 3x64x64 z=100 b32", batch / t, "img/s",
+          step_ms=round(t * 1e3, 2))
+
+
+def config3():
+    """10k batch inversion -> cosine top-k + kmeans-20 (apply_r pipeline)."""
+    import jax, jax.numpy as jnp
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.analysis import cosine_topk, forward_batched, kmeans
+    from ganreverser_tpu.core.prng import seed_key
+
+    dims, nd, n = (3, 64, 64), 100, 10240
+    R = M.create_R(dims, nd, "normal", dtype=jnp.bfloat16)
+    key = seed_key(0)
+    rv, _ = R.init(jax.random.fold_in(key, 2), (64, 64, 3))
+    images = jax.random.uniform(jax.random.fold_in(key, 3),
+                                (n, 64, 64, 3), jnp.bfloat16)
+
+    @jax.jit
+    def invert(rv, x):
+        return forward_batched(lambda b: R.apply(rv, b, train=False)[0],
+                               x, 256)
+
+    t = _time_best(invert, rv, images)
+    _emit(3, "10k batch inversion 64x64 bf16", n / t, "img/s")
+
+    emb = invert(rv, images)
+    _force(emb)
+    needles = jnp.arange(256)
+    f = jax.jit(lambda e: cosine_topk(e, needles, 100))
+    t = _time_best(f, emb)
+    _emit(3, "cosine top-100, 256 needles x 10k", 256 / t, "qps",
+          note="single-call; amortized rate is ~10x (see bench.py)")
+
+    f = jax.jit(lambda k, e: kmeans(k, e, 20, 15), static_argnums=())
+    t = _time_best(f, jax.random.fold_in(key, 5), emb.astype(jnp.float32))
+    _emit(3, "kmeans-20 x15 iters over 10k", 1.0 / t, "runs/s",
+          run_ms=round(t * 1e3, 2))
+
+
+def config4():
+    """G∘R fixing + anomaly detection over 10k generated faces."""
+    import jax, jax.numpy as jnp
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.analysis import (detect_anomalies, fix_images,
+                                          forward_batched)
+    from ganreverser_tpu.core.prng import seed_key
+
+    dims, nd, n = (3, 64, 64), 100, 10240
+    G = M.create_G(dims, nd, dtype=jnp.bfloat16)
+    key = seed_key(0)
+    gv, _ = G.init(jax.random.fold_in(key, 1), (nd,))
+    z = jax.random.normal(jax.random.fold_in(key, 3), (n, nd))
+
+    t = _time_best(lambda z: fix_images(G, gv, z, batch_size=256), z)
+    _emit(4, "G∘R fixing (G fwd from recovered z) 10k", n / t, "img/s")
+
+    images = fix_images(G, gv, z, batch_size=256)
+    _force(images)
+    fixed = images  # scoring cost is what's measured
+    f = jax.jit(lambda a, b: detect_anomalies(a, b, 0.15))
+    t = _time_best(f, images, fixed)
+    _emit(4, "anomaly scoring+threshold 10k", n / t, "img/s")
+
+
+def config5():
+    """128x128 RGB, z=256: gradient-based latent optimization through a
+    frozen G (20 adam steps on z)."""
+    import jax, jax.numpy as jnp
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.analysis import make_refiner
+    from ganreverser_tpu.core.prng import seed_key
+
+    dims, nd, batch, steps = (3, 128, 128), 256, 64, 20
+    G = M.create_G(dims, nd, dtype=jnp.bfloat16)
+    key = seed_key(0)
+    gv, _ = G.init(jax.random.fold_in(key, 1), (nd,))
+    refine = make_refiner(G, steps=steps, lr=0.05)
+    targets = jax.random.uniform(jax.random.fold_in(key, 2),
+                                 (batch, 128, 128, 3), jnp.bfloat16)
+    z0 = jnp.zeros((batch, nd))
+    t = _time_best(refine, gv, targets, z0)
+    _emit(5, f"latent refinement 3x128x128 z=256 b{batch} x{steps} steps",
+          batch * steps / t, "img-steps/s")
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--cpu" in argv:
+        argv.remove("--cpu")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    picks = [int(a) for a in argv] or sorted(CONFIGS)
+    for n in picks:
+        CONFIGS[n]()
+
+
+if __name__ == "__main__":
+    main()

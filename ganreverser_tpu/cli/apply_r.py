@@ -38,6 +38,7 @@ def _square_grid(images_rgb: np.ndarray):
 
 
 def main(argv=None):
+    common.configure_platform()
     cfg = ApplyConfig.from_args(argv, "inversion/analysis suite (apply_r.lua)")
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
@@ -89,16 +90,38 @@ def main(argv=None):
 
     # --- ② generate N + invert (apply_r.lua:143-153) ---
     print("Generating images...")
-    out = A.generate_and_invert(
-        G, R, g_vars, r_vars, n=cfg.N, noise_dim=noise_dim,
-        noise_method=noise_method, key=jax.random.fold_in(key, 2),
-        batch_size=max(cfg.batchSize, 256),
-        r_fixer_variables=rf_vars, R_fixer=R_fixer)
-    if R_fixer is not None:
-        noise, images, attributes, attributes_fixer = out
+    if cfg.mesh_data > 1:
+        # shard the N axis over the mesh (SURVEY.md §5.7); params replicated
+        from .. import parallel as par
+        mesh = par.make_mesh(data=cfg.mesh_data)
+        g_vars = par.replicate(g_vars, mesh)
+        r_vars = par.replicate(r_vars, mesh)
+        noise, images, attributes = A.distributed_generate_and_invert(
+            G, R, g_vars, r_vars, n=cfg.N, noise_dim=noise_dim,
+            noise_method=noise_method, key=jax.random.fold_in(key, 2),
+            mesh=mesh)
+        if R_fixer is not None:
+            rf_vars = par.replicate(rf_vars, mesh)
+
+            @jax.jit
+            def rf_fwd(v, x):
+                y, _ = R_fixer.apply(v, x, train=False,
+                                     rng=jax.random.fold_in(key, 5))
+                return y
+            attributes_fixer = rf_fwd(rf_vars, images)
+        else:
+            attributes_fixer = attributes
     else:
-        noise, images, attributes = out
-        attributes_fixer = attributes
+        out = A.generate_and_invert(
+            G, R, g_vars, r_vars, n=cfg.N, noise_dim=noise_dim,
+            noise_method=noise_method, key=jax.random.fold_in(key, 2),
+            batch_size=max(cfg.batchSize, 256),
+            r_fixer_variables=rf_vars, R_fixer=R_fixer)
+        if R_fixer is not None:
+            noise, images, attributes, attributes_fixer = out
+        else:
+            noise, images, attributes = out
+            attributes_fixer = attributes
 
     # --- optional: gradient-based latent refinement (new) ---
     if cfg.refine_steps > 0:

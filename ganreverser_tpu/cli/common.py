@@ -19,6 +19,15 @@ from ..core.prng import seed_key
 from ..data import Dataset
 
 
+def configure_platform():
+    """Honor GANREVERSER_PLATFORM=cpu|tpu|... — set before any device use.
+    Needed because the JAX_PLATFORMS env var loses to the axon TPU plugin's
+    registration; the config update is authoritative."""
+    plat = os.environ.get("GANREVERSER_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 def compute_dtype(cfg) -> jnp.dtype:
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         getattr(cfg, "compute_dtype", "float32")]
@@ -63,14 +72,16 @@ def build_gan_models(cfg, dtype):
 
 def init_gan_state(cfg, G, D, dims, key) -> T.GanState:
     c, h, w = dims
-    g_vars, _ = G.init(jax.random.fold_in(key, 1), (cfg.noiseDim,))
-    d_vars, _ = D.init(jax.random.fold_in(key, 2), (h, w, c))
     g_opt = O.make_optimizer(cfg.G_optmethod, sgd_lr=cfg.G_sgd_lr,
                              sgd_momentum=cfg.G_sgd_momentum)
     d_opt = O.make_optimizer(cfg.D_optmethod, sgd_lr=cfg.D_sgd_lr,
                              sgd_momentum=cfg.D_sgd_momentum)
-    return T.GanState(g=T.TrainState.create(g_vars, g_opt),
-                      d=T.TrainState.create(d_vars, d_opt))
+    # one jitted program per net: init dispatch-latency matters on the tunnel
+    return T.GanState(
+        g=T.create_train_state(G, g_opt, jax.random.fold_in(key, 1),
+                               (cfg.noiseDim,)),
+        d=T.create_train_state(D, d_opt, jax.random.fold_in(key, 2),
+                               (h, w, c)))
 
 
 def to_nhwc_rgb(images, colorspace: str) -> np.ndarray:

@@ -23,6 +23,7 @@ from . import common
 
 
 def main(argv=None):
+    common.configure_platform()
     cfg = PretrainGConfig.from_args(argv, "autoencoder G pretraining "
                                           "(pretrain_g.lua)")
     dtype = common.compute_dtype(cfg)

@@ -44,6 +44,7 @@ def _resize_batch(images: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def main(argv=None):
+    common.configure_platform()
     cfg = PretrainPrevConfig.from_args(
         argv, "net2net distillation pretraining "
               "(pretrain_with_previous_net.lua)")

@@ -24,6 +24,7 @@ from . import common
 
 
 def main(argv=None):
+    common.configure_platform()
     cfg = SampleConfig.from_args(argv, "offline sampling (sample.lua)")
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)

@@ -60,6 +60,7 @@ def visualize_progress(writer: MetricsWriter, G, D, gs, vis_noise, cfg,
 
 
 def main(argv=None):
+    common.configure_platform()
     cfg = GanConfig.from_args(argv, "adversarial G/D training (train.lua)")
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)

@@ -28,6 +28,7 @@ from . import common
 
 
 def main(argv=None):
+    common.configure_platform()
     cfg = RConfig.from_args(argv, "Reverser training (train_r.lua)")
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
@@ -53,8 +54,8 @@ def main(argv=None):
         ts = common.ts_from_tree(r_tree["R"])
         print(f"<trainer> continuing R from {cfg.cont}")
     else:
-        r_vars, _ = R.init(jax.random.fold_in(key, 2), (h, w, c))
-        ts = T.TrainState.create(r_vars, O.adam())
+        ts = T.create_train_state(R, O.adam(), jax.random.fold_in(key, 2),
+                                  (h, w, c))
 
     print(f"Number of free parameters in G: "
           f"{M.count_parameters(g_variables['params'])}")

@@ -158,6 +158,7 @@ class ApplyConfig(Config):
     refine_steps: int = _f(0, "gradient-based latent refinement steps (new; 0 = off)")
     refine_lr: float = _f(0.05, "refinement learning rate (adam on z)")
     pallas: bool = _f(False, "use the Pallas fused kernels for kmeans and cosine search (ops/); default lax")
+    mesh_data: int = _f(1, "shard the N-axis of generation/inversion/search over this many devices (SURVEY.md §5.7 large-N path)")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
 
 

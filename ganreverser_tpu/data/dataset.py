@@ -25,6 +25,10 @@ def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
     nothing."""
     files: List[str] = []
     for d in dirs:
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"dataset directory {d!r} does not exist (pass a directory "
+                "of *.jpg images, or 'synthetic')")
         for name in os.listdir(d):
             if name.endswith(ext):
                 files.append(os.path.join(d, name))

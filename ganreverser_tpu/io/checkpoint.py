@@ -97,6 +97,11 @@ def save_checkpoint(path: str, tree: Any, *, config: Optional[dict] = None,
 def load_checkpoint(path: str):
     """Returns (tree, config, extra)."""
     path = os.path.abspath(path)
+    if not os.path.isfile(os.path.join(path, "manifest.json")):
+        raise FileNotFoundError(
+            f"no checkpoint at {path!r} (expected a directory containing "
+            "manifest.json + arrays.npz — train the corresponding model "
+            "first, or check --save/--G/--R paths)")
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     with np.load(os.path.join(path, "arrays.npz")) as npz:

@@ -1,4 +1,4 @@
-from .state import TrainState, GanState, merge_state
+from .state import TrainState, GanState, create_train_state, merge_state
 from .losses import bce, mse
 from .r_loop import make_r_train_step, make_r_eval_step, calibrate_batchnorm
 from .adversarial import (Confusion, Y_GENERATOR, Y_NOT_GENERATOR,

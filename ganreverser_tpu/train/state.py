@@ -44,6 +44,23 @@ class GanState:
     d: TrainState
 
 
+def create_train_state(module, opt: Optimizer, key, in_shape) -> TrainState:
+    """Build module variables + optimizer state as ONE jitted program.
+
+    Eager init dispatches one op per parameter tensor; on a high-latency
+    device link (the axon tunnel's ~28 ms round trip) that is dozens of
+    round trips per model. One compiled program = one round trip.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def go(k):
+        variables, _ = module.init(k, in_shape)
+        return TrainState.create(variables, opt)
+
+    return go(key)
+
+
 def merge_state(old: dict, new: dict) -> dict:
     """Deep-merge a partial state update (only stateful layers report back)
     into the full state tree."""

@@ -67,6 +67,14 @@ def test_full_pipeline(workdir, trained_gan):
                   "--batchSize", "32", "--pallas"])
     assert os.path.isfile(os.path.join(out_p, "similar_attributes_01.jpg"))
 
+    # sharded large-N path over the 8 virtual devices
+    out_m = os.path.join(workdir, "apply_out_mesh")
+    apply_r.main(["--save", save, "--G", g_ckpt, "--writeto", out_m,
+                  "--N", "256", "--clusters", "4", "--kmeans_iters", "2",
+                  "--needles", "2", "--anomalies_n", "64",
+                  "--batchSize", "32", "--mesh_data", "8"])
+    assert os.path.isfile(os.path.join(out_m, "anomalies.jpg"))
+
     # --- sample.lua equivalent ---
     sout = os.path.join(workdir, "samples")
     sample.main(["--network", g_ckpt, "--writeto", sout,
