@@ -146,6 +146,7 @@ def main(argv=None):
 
     writer = MetricsWriter(cfg.save)
     timer = StepTimer(writer, log_every=10, tag="epoch_time")
+    guard = gio.PreemptionGuard()  # SIGTERM -> checkpoint + clean exit
 
     def save(completed_epoch):
         tree = common.gan_to_tree(gs, {"vis_noise_inputs": vis_noise})
@@ -188,6 +189,9 @@ def main(argv=None):
 
         if epoch % cfg.saveFreq == 0:
             save(epoch)
+        if guard.should_stop:
+            save(epoch)
+            break
         epoch += 1
 
 

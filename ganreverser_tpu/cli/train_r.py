@@ -68,6 +68,7 @@ def main(argv=None):
 
     writer = MetricsWriter(cfg.save, name="events_r")
     timer = StepTimer(writer, log_every=100, tag="r_batch_time")
+    guard = gio.PreemptionGuard()  # SIGTERM -> checkpoint + clean exit
     ckpt_path = gio.r_name(cfg.save, c, h, w, cfg.noiseDim, cfg.noiseMethod,
                            cfg.fixer)
 
@@ -119,6 +120,9 @@ def main(argv=None):
                               subdir="images_r")
         if batch_idx % cfg.saveFreq == 0:
             save()
+        if guard.should_stop:
+            save()
+            break
         batch_idx += 1
 
 

@@ -2,3 +2,4 @@ from .checkpoint import (adversarial_name, exists, g_pretrained_name,
                          load_checkpoint, pretrained_name, r_name,
                          save_checkpoint)
 from .metrics import MetricsWriter, StepTimer, nan_guard, profiler_trace
+from .preemption import PreemptionGuard
