@@ -176,7 +176,8 @@ def main(argv=None):
                 d_step, g_step, gs, train_data, sub,
                 batch_size=cfg.batchSize, n_batches=cfg.N_epoch,
                 d_iterations=cfg.D_iterations,
-                g_iterations=cfg.G_iterations)
+                g_iterations=cfg.G_iterations,
+                should_stop=lambda: guard.should_stop)
         acc = float(confusion.total_valid)
         print(f"<trainer> Epoch #{epoch} [batchSize = {cfg.batchSize}] "
               f"d_loss: {float(d_losses.mean()):.4f} "
@@ -187,10 +188,9 @@ def main(argv=None):
         writer.scalar("d_accuracy", acc, step=epoch)
         timer.tick(epoch)
 
-        if epoch % cfg.saveFreq == 0:
+        if epoch % cfg.saveFreq == 0 or guard.should_stop:
             save(epoch)
         if guard.should_stop:
-            save(epoch)
             break
         epoch += 1
 

@@ -118,10 +118,9 @@ def main(argv=None):
                                    common.to_nhwc_rgb(fixed, cfg.colorSpace)])
             writer.image_grid("g_r_g", both, 4, 8, batch_idx,
                               subdir="images_r")
-        if batch_idx % cfg.saveFreq == 0:
+        if batch_idx % cfg.saveFreq == 0 or guard.should_stop:
             save()
         if guard.should_stop:
-            save()
             break
         batch_idx += 1
 

@@ -155,12 +155,13 @@ def make_adversarial_steps(G: Module, D: Module, *, batch_size: int,
 
 def train_epoch(d_step, g_step, gs: GanState, train_data, key, *,
                 batch_size: int, n_batches: int, d_iterations: int = 1,
-                g_iterations: int = 1):
+                g_iterations: int = 1, should_stop=None):
     """One epoch — the adversarial.train driver loop (adversarial.lua:52-195).
 
     ``train_data``: (N, H, W, C) device array; real halves are consumed
     sequentially like the reference's exampleForDIdx cursor
-    (adversarial.lua:129-137).
+    (adversarial.lua:129-137). ``should_stop``: optional callable checked
+    between batches (preemption guard) — the epoch ends early when true.
     """
     half = batch_size // 2
     confusion = Confusion.zero()
@@ -168,6 +169,8 @@ def train_epoch(d_step, g_step, gs: GanState, train_data, key, *,
     n_data = train_data.shape[0]
     d_losses, g_losses = [], []
     for batch_idx in range(n_batches):
+        if should_stop is not None and should_stop():
+            break
         for k in range(d_iterations):
             idx = (cursor + jnp.arange(half)) % n_data
             real_half = train_data[idx]
@@ -179,4 +182,7 @@ def train_epoch(d_step, g_step, gs: GanState, train_data, key, *,
             key, sub = jax.random.split(key)
             gs, g_loss = g_step(gs, sub)
             g_losses.append(g_loss)
+    if not d_losses:  # preempted before the first batch
+        d_losses = [jnp.zeros(())]
+        g_losses = [jnp.zeros(())]
     return gs, confusion, (jnp.stack(d_losses), jnp.stack(g_losses))
