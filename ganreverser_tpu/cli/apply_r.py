@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,10 @@ def main(argv=None):
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
     os.makedirs(cfg.writeto, exist_ok=True)
+    if cfg.N < cfg.needles * 100:
+        sys.exit(f"--needles {cfg.needles} requires --N >= "
+                 f"{cfg.needles * 100} (needle indices are (i+1)*100-1, "
+                 "apply_r.lua:272)")
 
     # --- load G (inherit geometry) + R + R_fixer (apply_r.lua:59-109) ---
     g_tree, g_cfg, _ = gio.load_checkpoint(cfg.G)
@@ -134,12 +139,9 @@ def main(argv=None):
     print("Clustering...")
     if cfg.pallas:
         from ..ops.kmeans_kernel import kmeans_pallas
-        tile = min(512, attributes.shape[0])
-        padded_n = -(-attributes.shape[0] // tile) * tile
-        attrs_k = jnp.resize(attributes, (padded_n, attributes.shape[1]))
         centroids, counts = kmeans_pallas(
-            jax.random.fold_in(key, 3), attrs_k, cfg.clusters,
-            cfg.kmeans_iters, tile_n=tile)
+            jax.random.fold_in(key, 3), attributes, cfg.clusters,
+            cfg.kmeans_iters)  # exact padding handled inside
     else:
         centroids, counts = A.kmeans(jax.random.fold_in(key, 3), attributes,
                                      cfg.clusters, cfg.kmeans_iters)

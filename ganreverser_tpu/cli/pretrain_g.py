@@ -36,6 +36,16 @@ def main(argv=None):
     dec = M.create_G(dims, cfg.noiseDim, dtype=dtype)
     AE = T.make_autoencoder(enc, dec)
     ae_vars, _ = AE.init(jax.random.fold_in(key, 1), (h, w, c))
+    if cfg.network:
+        # resume the DECODER from a previous g_pretrained checkpoint (the
+        # reference declares --network but never reads it,
+        # pretrain_g.lua:16 — implemented properly here; the encoder is
+        # fresh because the checkpoint stores the decoder only)
+        dec_tree, _, _ = gio.load_checkpoint(cfg.network)
+        ae_vars["params"]["l1"] = dec_tree["params"]
+        ae_vars["state"]["l1"] = dec_tree["state"]
+        print(f"<trainer> resumed decoder from {cfg.network} "
+              "(fresh encoder)")
     opt = (O.adagrad() if cfg.G_optmethod == "adagrad" else O.adam())
     ts = T.TrainState.create(ae_vars, opt)
     print(f"Number of free parameters in G (total): "
@@ -45,12 +55,20 @@ def main(argv=None):
                                 g_clamp=cfg.G_clamp, opt=opt)
     writer = MetricsWriter(cfg.save, name="events_pretrain_g")
     ckpt_path = gio.g_pretrained_name(cfg.save, c, h, w, cfg.noiseDim)
+    last_saved = None
+
+    @jax.jit
+    def recon(v, x):
+        y, _ = AE.apply(v, x, train=False)
+        return y
 
     def save(epoch):
+        nonlocal last_saved
         dec_vars = T.decoder_variables(
             {"params": ts.params, "state": ts.state})
         gio.save_checkpoint(ckpt_path, dec_vars, config=cfg.to_dict(),
                             extra={"epoch": epoch + 1})
+        last_saved = epoch
         print(f"<trainer> saving network to {ckpt_path}")
 
     epoch = 1
@@ -72,10 +90,6 @@ def main(argv=None):
         writer.scalar("ae_loss", float(loss), step=epoch)
 
         if not cfg.noplot:
-            @jax.jit
-            def recon(v, x):
-                y, _ = AE.apply(v, x, train=False)
-                return y
             sample = data[:32]
             out = recon(ts.variables, sample)
             both = np.concatenate([
@@ -86,7 +100,8 @@ def main(argv=None):
         if epoch % cfg.saveFreq == 0:
             save(epoch)
         epoch += 1
-    save(epoch - 1)
+    if last_saved != epoch - 1:
+        save(epoch - 1)
 
 
 if __name__ == "__main__":

@@ -37,9 +37,14 @@ def main(argv=None):
     h, w = g_cfg["height"], g_cfg["width"]
     c = 1 if colorspace == "y" else 3
     dims = (c, h, w)
-    # warn on mismatching run config like sample.lua:210-217
-    for k in ("colorSpace", "height", "width"):
-        pass
+    # warn on run-config mismatch like sample.lua:210-217 (the checkpoint's
+    # geometry always wins)
+    for attr in ("colorSpace", "height", "width"):
+        mine = getattr(cfg, attr, None)
+        theirs = g_cfg.get(attr)
+        if mine not in (None, theirs) and str(mine) != str(theirs):
+            print(f"[sample] WARNING: --{attr}={mine} differs from the "
+                  f"checkpoint's {attr}={theirs}; using the checkpoint's")
 
     G = M.create_G(dims, noise_dim, dtype=dtype)
     D = M.create_D(dims, dtype=dtype)

@@ -26,18 +26,12 @@ from ..io.metrics import MetricsWriter, StepTimer, nan_guard
 from . import common
 
 
-def visualize_progress(writer: MetricsWriter, G, D, gs, vis_noise, cfg,
+def visualize_progress(writer: MetricsWriter, gen, rate, gs, vis_noise, cfg,
                        epoch: int, train_data):
     """train.lua:268-319: grids of 50 random samples, 50 best and 8 worst by
-    D's score, plus a D-sanity ranking with injected non-face patterns."""
-    @jax.jit
-    def gen(gv, z):
-        return G.apply(gv, z, train=False)[0]
-
-    @jax.jit
-    def rate(dv, images):
-        return D.apply(dv, images, train=False)[0].reshape(-1)
-
+    D's score, plus a D-sanity ranking with injected non-face patterns.
+    ``gen``/``rate`` are jitted ONCE in main — defining them here would
+    retrace every epoch."""
     images = gen(gs.g.variables, vis_noise)
     if nan_guard(images):
         print("<trainer> WARNING: generated images contain NaN/Inf "
@@ -147,27 +141,45 @@ def main(argv=None):
     writer = MetricsWriter(cfg.save)
     timer = StepTimer(writer, log_every=10, tag="epoch_time")
     guard = gio.PreemptionGuard()  # SIGTERM -> checkpoint + clean exit
+    last_saved = None
+
+    @jax.jit
+    def vis_gen(gv, z):
+        return G.apply(gv, z, train=False)[0]
+
+    @jax.jit
+    def vis_rate(dv, images):
+        return D.apply(dv, images, train=False)[0].reshape(-1)
 
     def save(completed_epoch):
+        nonlocal last_saved
         tree = common.gan_to_tree(gs, {"vis_noise_inputs": vis_noise})
         gio.save_checkpoint(ckpt_path, tree, config=cfg.to_dict(),
                             extra={"epoch": completed_epoch})
+        last_saved = completed_epoch
         print(f"<trainer> saving network to {ckpt_path}")
+
+    # background prefetch: the host decodes the NEXT epoch's images while
+    # the device trains on the current ones (data/prefetch.py)
+    from ..data import prefetch_to_device
+    n_load = (cfg.N_epoch * cfg.batchSize // 2) * cfg.D_iterations
+    data_iter = prefetch_to_device(
+        lambda i: dataset.load_random_images(n_load), -1)
 
     while True:
         # fixed: the reference's inverted --epochs check stops immediately
         # (train.lua:208; SURVEY.md quirk) — here it runs exactly N epochs
         if 0 <= cfg.epochs < epoch:
             print("<trainer> Last epoch reached.")
-            save(epoch - 1)
+            if last_saved != epoch - 1:
+                save(epoch - 1)
             break
-        n_load = (cfg.N_epoch * cfg.batchSize // 2) * cfg.D_iterations
         print(f"<trainer> Loading {n_load} new training images...")
-        train_data = jnp.asarray(dataset.load_random_images(n_load))
+        train_data = next(data_iter)
 
         if not cfg.noplot:
-            visualize_progress(writer, G, D, gs, vis_noise, cfg, epoch,
-                               train_data)
+            visualize_progress(writer, vis_gen, vis_rate, gs, vis_noise,
+                               cfg, epoch, train_data)
 
         key, sub = jax.random.split(key)
         from ..io.metrics import profiler_trace
@@ -193,7 +205,6 @@ def main(argv=None):
         if guard.should_stop:
             break
         epoch += 1
-
 
 if __name__ == "__main__":
     main()

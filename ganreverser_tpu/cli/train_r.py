@@ -82,10 +82,14 @@ def main(argv=None):
         fixed, _ = G.apply(gv, z_hat, train=False)
         return imgs, fixed
 
+    last_saved = None
+
     def save():
+        nonlocal last_saved
         gio.save_checkpoint(ckpt_path, {"R": common.ts_to_tree(ts)},
                             config=cfg.to_dict(),
                             extra={"batch": int(ts.step)})
+        last_saved = int(ts.step)
         print(f"<trainer> saving network to {ckpt_path}")
 
     losses = []
@@ -93,7 +97,8 @@ def main(argv=None):
     while True:
         if 0 <= cfg.nbBatches < batch_idx:
             print("<trainer> Last batch reached.")
-            save()
+            if last_saved != int(ts.step):
+                save()
             break
         key, sub = jax.random.split(key)
         ts, loss = step(g_variables, ts, sub)

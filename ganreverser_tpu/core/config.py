@@ -221,4 +221,7 @@ class SampleConfig(Config):
     neighbours: bool = _f(False, "find nearest training-set neighbours of best samples")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
     seed: int = _f(1, "RNG seed")
+    colorSpace: str = _f("rgb", "warned-on when it mismatches the checkpoint (sample.lua:210-217); the checkpoint wins")
+    height: int = _f(32, "warned-on when it mismatches the checkpoint")
+    width: int = _f(32, "warned-on when it mismatches the checkpoint")
     compute_dtype: str = _f("float32", "compute dtype")

@@ -29,13 +29,13 @@ def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
             raise FileNotFoundError(
                 f"dataset directory {d!r} does not exist (pass a directory "
                 "of *.jpg images, or 'synthetic')")
-        for name in os.listdir(d):
-            if name.endswith(ext):
-                files.append(os.path.join(d, name))
-        files.sort()
-        if not files:
+        found = [os.path.join(d, name) for name in os.listdir(d)
+                 if name.endswith(ext)]
+        if not found:
             raise FileNotFoundError(
-                f"given directory doesn't contain any files of type: {ext}")
+                f"directory {d!r} doesn't contain any files of type: {ext}")
+        files.extend(found)
+    files.sort()
     return files
 
 

@@ -115,13 +115,22 @@ def exists(path: str) -> bool:
 
 
 def _retain(path: str, keep: int):
-    """Keep the newest ``keep`` step-suffixed siblings of ``path``."""
+    """Keep the newest ``keep`` step-suffixed siblings of ``path`` —
+    numeric sort, so step10 outlives step9."""
     base = os.path.basename(path)
     parent = os.path.dirname(path)
+
+    def step_of(name: str) -> int:
+        try:
+            return int(name[len(base + ".step"):])
+        except ValueError:
+            return -1
+
     sibs = sorted(
-        d for d in os.listdir(parent)
-        if d.startswith(base + ".step") and
-        os.path.isdir(os.path.join(parent, d)))
+        (d for d in os.listdir(parent)
+         if d.startswith(base + ".step") and
+         os.path.isdir(os.path.join(parent, d))),
+        key=step_of)
     for d in sibs[:-keep] if keep > 0 else sibs:
         shutil.rmtree(os.path.join(parent, d))
 

@@ -179,8 +179,14 @@ class BatchNorm(Module):
             mean = jnp.mean(xf, axis=red)
             var = jnp.var(xf, axis=red)
             m = self.momentum
+            # torch: normalize with the biased batch variance but update the
+            # running statistic with the UNBIASED estimate
+            count = 1
+            for d in red:
+                count *= x.shape[d]
+            unbiased = var * (count / max(count - 1, 1))
             new_state = {"mean": (1 - m) * s["mean"] + m * mean,
-                         "var": (1 - m) * s["var"] + m * var}
+                         "var": (1 - m) * s["var"] + m * unbiased}
         else:
             mean, var = s["mean"], s["var"]
             new_state = s

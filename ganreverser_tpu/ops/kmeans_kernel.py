@@ -87,14 +87,64 @@ def kmeans_step_pallas(x: jax.Array, centroids: jax.Array, *,
 def kmeans_pallas(key: jax.Array, x: jax.Array, k: int, iters: int, *,
                   tile_n: int = 512, interpret=None):
     """Full kmeans with the fused step; same init as analysis.kmeans.kmeans
-    (random data points). Pads N up to a tile multiple by repeating row 0
-    weight-free? No — requires N % tile_n == 0; pad upstream if needed."""
+    (random data points).
+
+    N that is not a tile multiple is padded with copies of row 0, whose
+    contribution is subtracted exactly from the padded cluster's sum/count
+    each iteration — results match the unpadded lax path, no duplicate-row
+    bias.
+    """
     x = x.astype(jnp.float32)
     n = x.shape[0]
+    tile_n = min(tile_n, n)
+    pad = (-n) % tile_n
+    xp = jnp.concatenate([x, jnp.tile(x[:1], (pad, 1))]) if pad else x
+
     init_idx = jax.random.choice(key, n, (k,), replace=False)
     centroids = jnp.take(x, init_idx, axis=0)
     counts = jnp.zeros((k,), jnp.float32)
     for _ in range(iters):
-        centroids, counts = kmeans_step_pallas(
-            x, centroids, tile_n=tile_n, interpret=interpret)
+        sums, counts = _kmeans_sums_counts(xp, centroids, tile_n, interpret)
+        if pad:
+            # remove the padded copies of row 0 from their cluster
+            d0 = _pairwise_row_dist(x[0], centroids)
+            a0 = jnp.argmin(d0)
+            sums = sums.at[a0].add(-pad * x[0])
+            counts = counts.at[a0].add(-float(pad))
+        new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+        centroids = jnp.where(counts[:, None] > 0, new_centroids, centroids)
     return centroids, counts
+
+
+def _pairwise_row_dist(row, centroids):
+    d = centroids - row[None, :]
+    return jnp.sum(d * d, axis=1)
+
+
+def _kmeans_sums_counts(x, centroids, tile_n, interpret):
+    """Raw (sums, counts) from the fused kernel (no centroid division)."""
+    from .topk_kernel import _auto_interpret
+    interpret = _auto_interpret(interpret)
+    n, d = x.shape
+    k = centroids.shape[0]
+    assert n % tile_n == 0, (n, tile_n)
+    sums, counts = pl.pallas_call(
+        _kernel,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((k, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k), jnp.float32)),
+        interpret=interpret,
+    )(x, centroids)
+    return sums, counts[0]
