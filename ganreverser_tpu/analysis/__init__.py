@@ -1,6 +1,6 @@
 from .batched import forward_batched
-from .similarity import (cosine_scores, cosine_topk, normalize_rows,
-                         pixel_cosine_topk)
+from .similarity import (SimilarityIndex, cosine_scores, cosine_topk,
+                         normalize_rows, pixel_cosine_topk)
 from .kmeans import (assign_euclidean, assign_min_cosine, cluster_members,
                      kmeans)
 from .pipeline import (anomaly_scores, anomaly_threshold, detect_anomalies,

@@ -86,3 +86,22 @@ def shard_params(tree, mesh: Mesh, min_size: int = 1 << 16):
 def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda leaf: jax.device_put(leaf, replicated(mesh)), tree)
+
+
+def process_slice(n: int) -> slice:
+    """This host's slice of a length-n globally-sharded data axis —
+    host-local data loading for multi-process TPU pods (SURVEY.md §5.8).
+    On a single process this is the identity slice."""
+    p = jax.process_index()
+    np_ = jax.process_count()
+    per = n // np_
+    assert n % np_ == 0, (n, np_)
+    return slice(p * per, (p + 1) * per)
+
+
+def host_local_batch(loader, n: int):
+    """Load only this process's shard: ``loader(start, count)`` -> array.
+    Combine with jax.make_array_from_process_local_data for pod-scale input
+    pipelines."""
+    s = process_slice(n)
+    return loader(s.start, s.stop - s.start)

@@ -36,6 +36,31 @@ def test_cosine_topk_matches_numpy(key):
     assert float(scores[0, 0]) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_similarity_index(key):
+    """SimilarityIndex (normalize-once serving path) matches cosine_topk."""
+    emb = jax.random.normal(key, (128, 16))
+    idx = A.SimilarityIndex(emb)
+    assert idx.size == 128
+    needles = jnp.array([0, 7])
+    ref_v, ref_i = A.cosine_topk(emb, needles, 5)
+    v, i = idx.topk_by_index(needles, 5)
+    assert np.array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-6)
+    # free-vector queries: querying with the rows themselves reproduces it
+    v2, i2 = idx.topk(jnp.take(emb, needles, axis=0), 5)
+    assert np.array_equal(np.asarray(i2), np.asarray(ref_i))
+
+
+def test_process_slice_single_host():
+    from ganreverser_tpu.parallel import host_local_batch, process_slice
+    s = process_slice(64)
+    assert (s.start, s.stop) == (0, 64)  # single process = identity
+    out = host_local_batch(lambda start, count: np.arange(start,
+                                                          start + count), 8)
+    assert out.tolist() == list(range(8))
+
+
 def test_kmeans_separates_blobs(key):
     k1, k2, k3 = jax.random.split(key, 3)
     a = jax.random.normal(k1, (100, 8)) * 0.1 + 5.0
