@@ -83,6 +83,49 @@ def test_sgd_momentum_matches_torch():
     assert float(u2["w"][0]) == pytest.approx(-0.1 * (0.9 * 1.0 + 1.0))
 
 
+def test_adagrad_first_step():
+    """x -= lr * g / (sqrt(g²) + eps) on step 1 (torch optim.adagrad)."""
+    opt = O.adagrad(lr=0.5)
+    params = {"w": jnp.array([1.0])}
+    state = opt.init(params)
+    u, _ = opt.update({"w": jnp.array([2.0])}, state, params)
+    assert float(u["w"][0]) == pytest.approx(-0.5 * 2.0 / (2.0 + 1e-10),
+                                             rel=1e-6)
+
+
+def test_adadelta_first_step():
+    """u = -sqrt(eps)/sqrt((1-rho)g²+eps) * g (torch optim.adadelta)."""
+    opt = O.adadelta(rho=0.9, eps=1e-6)
+    params = {"w": jnp.array([0.0])}
+    state = opt.init(params)
+    g = 3.0
+    u, _ = opt.update({"w": jnp.array([g])}, state, params)
+    import math
+    expected = -math.sqrt(1e-6) / math.sqrt(0.1 * g * g + 1e-6) * g
+    assert float(u["w"][0]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_adamax_first_step():
+    """u = -(lr/(1-b1)) * (1-b1)g / max(b2*0, |g|+eps) = -lr*sign(g)."""
+    opt = O.adamax(lr=0.002)
+    params = {"w": jnp.array([0.0])}
+    state = opt.init(params)
+    u, _ = opt.update({"w": jnp.array([7.0])}, state, params)
+    assert float(u["w"][0]) == pytest.approx(-0.002, rel=1e-5)
+
+
+def test_rmsprop_first_step():
+    """u = -lr*g/(sqrt((1-alpha)g²)+eps) (torch optim.rmsprop)."""
+    opt = O.rmsprop(lr=0.01, alpha=0.99)
+    params = {"w": jnp.array([0.0])}
+    state = opt.init(params)
+    g = 4.0
+    u, _ = opt.update({"w": jnp.array([g])}, state, params)
+    import math
+    expected = -0.01 * g / (math.sqrt(0.01 * g * g) + 1e-8)
+    assert float(u["w"][0]) == pytest.approx(expected, rel=1e-5)
+
+
 def test_clamp_and_penalties():
     params = {"w": jnp.array([2.0, -3.0])}
     grads = {"w": jnp.array([10.0, -10.0])}
