@@ -124,6 +124,23 @@ def main(argv=None):
     print(f"Number of free parameters in D: {n_params_d}")
     print(f"Number of free parameters in G: {n_params_g}")
 
+    mesh = None
+    if cfg.mesh_data != 1 or cfg.mesh_model != 1:
+        # dp: batch sharded over 'data'; tp: big kernels over 'model'
+        from .. import parallel as par
+        mesh = par.make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+        print(f"<trainer> mesh: {dict(mesh.shape)}")
+
+        def place(ts):
+            import dataclasses as _dc
+            return _dc.replace(
+                ts,
+                params=par.shard_params(ts.params, mesh),
+                state=par.replicate(ts.state, mesh),
+                opt_state=par.shard_params(ts.opt_state, mesh))
+
+        gs = T.GanState(g=place(gs.g), d=place(gs.d))
+
     if vis_noise is None:
         vis_noise = noise_inputs(jax.random.fold_in(key, 100), 100,
                                  cfg.noiseDim, cfg.noiseMethod)
@@ -176,6 +193,9 @@ def main(argv=None):
             break
         print(f"<trainer> Loading {n_load} new training images...")
         train_data = next(data_iter)
+        if mesh is not None:
+            from .. import parallel as par
+            train_data = par.shard_batch(train_data, mesh)
 
         if not cfg.noplot:
             visualize_progress(writer, vis_gen, vis_rate, gs, vis_noise,

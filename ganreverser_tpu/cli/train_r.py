@@ -61,6 +61,20 @@ def main(argv=None):
           f"{M.count_parameters(g_variables['params'])}")
     print(f"Number of free parameters in R: {M.count_parameters(ts.params)}")
 
+    if cfg.mesh_data != 1 or cfg.mesh_model != 1:
+        # dp over the synthetic batch + tp over the big kernels
+        import dataclasses as _dc
+        from .. import parallel as par
+        mesh = par.make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+        print(f"<trainer> mesh: {dict(mesh.shape)}")
+        g_variables = {"params": par.shard_params(g_variables["params"],
+                                                  mesh),
+                       "state": par.replicate(g_variables["state"], mesh)}
+        ts = _dc.replace(ts,
+                         params=par.shard_params(ts.params, mesh),
+                         state=par.replicate(ts.state, mesh),
+                         opt_state=par.shard_params(ts.opt_state, mesh))
+
     step = T.make_r_train_step(
         G, R, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,
         noise_method=cfg.noiseMethod, r_l1=cfg.R_L1, r_l2=cfg.R_L2,

@@ -106,7 +106,7 @@ class GanConfig(Config):
     width: int = _f(32, "width of the training images")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
     # TPU-native additions (no reference equivalent):
-    mesh_data: int = _f(0, "data-parallel mesh axis size (0 = all devices)")
+    mesh_data: int = _f(1, "data-parallel mesh axis size (0 = all devices, 1 = single-device)")
     mesh_model: int = _f(1, "tensor-parallel mesh axis size")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
     profile_dir: str = _f("", "write a jax.profiler trace of one epoch here")
@@ -134,7 +134,7 @@ class RConfig(Config):
     colorSpace: str = _f("rgb", "")
     height: int = _f(32, "")
     width: int = _f(32, "")
-    mesh_data: int = _f(0, "data-parallel mesh axis size (0 = all devices)")
+    mesh_data: int = _f(1, "data-parallel mesh axis size (0 = all devices, 1 = single-device)")
     mesh_model: int = _f(1, "tensor-parallel mesh axis size")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
 

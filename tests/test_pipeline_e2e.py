@@ -67,6 +67,19 @@ def test_full_pipeline(workdir, trained_gan):
                   "--batchSize", "32", "--pallas"])
     assert os.path.isfile(os.path.join(out_p, "similar_attributes_01.jpg"))
 
+    # dp+tp training over the 8 virtual devices (--mesh flags)
+    from ganreverser_tpu.cli import train
+    train.main(["--save", os.path.join(workdir, "mesh_logs"),
+                "--epochs", "1", "--N_epoch", "1", "--batchSize", "16",
+                "--noiseDim", "8", "--saveFreq", "1", "--nopretraining",
+                "--mesh_data", "4", "--mesh_model", "2"] + GEOM)
+    assert os.path.isfile(os.path.join(workdir, "mesh_logs", "adversarial",
+                                       "manifest.json"))
+    train_r.main(["--save", os.path.join(workdir, "mesh_logs"),
+                  "--G", os.path.join(workdir, "mesh_logs", "adversarial"),
+                  "--nbBatches", "3", "--batchSize", "16", "--saveFreq", "3",
+                  "--dataset", "synthetic", "--mesh_data", "8"])
+
     # sharded large-N path over the 8 virtual devices
     out_m = os.path.join(workdir, "apply_out_mesh")
     apply_r.main(["--save", save, "--G", g_ckpt, "--writeto", out_m,
