@@ -20,8 +20,7 @@ the fusion blueprint. Keep tile_n * H * W * Co * 4B well under VMEM.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ GANREVERSER_PALLAS=1.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

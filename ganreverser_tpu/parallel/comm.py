@@ -5,7 +5,6 @@ on TPU these compile to XLA collectives over ICI.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
