@@ -217,6 +217,17 @@ def main(argv=None):
           f"anomalies={int(is_anomaly.sum())}/{n_calc}; artifacts in "
           f"{cfg.writeto}/")
 
+    # run stats into the metrics log (observability parity, SURVEY.md §5.5)
+    from ..io.metrics import MetricsWriter
+    writer = MetricsWriter(cfg.writeto, name="apply_r_stats")
+    writer.scalar("n_inverted", cfg.N)
+    writer.scalar("anomaly_threshold", float(thr))
+    writer.scalar("anomaly_count", int(is_anomaly.sum()))
+    cluster_sizes = np.bincount(np.asarray(assign), minlength=cfg.clusters)
+    for ci, size in enumerate(cluster_sizes):
+        writer.scalar("cluster_size", int(size), step=ci)
+    writer.close()
+
 
 if __name__ == "__main__":
     main()
