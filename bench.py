@@ -59,6 +59,13 @@ def main(argv=None):
     dims, nd = (3, 64, 64), 100
     n_images = 10240
     batch = 256  # fastest in the measured 256/512/1024/2048 sweep on v5e
+    if jax.default_backend() == "cpu":
+        # no TPU in this environment: shrink so the benchmark still
+        # completes and reports (numbers are then CPU numbers, not the
+        # headline chip rate)
+        n_images, batch = 512, 128
+        print("[bench] WARNING: no TPU backend — CPU fallback with "
+              f"n_images={n_images}", file=sys.stderr)
 
     R = M.create_R(dims, nd, "normal", dtype=jnp.bfloat16)
     key = seed_key(0)
@@ -98,7 +105,7 @@ def main(argv=None):
     # the axon tunnel are bounded by its ~28 ms dispatch round-trip, so 20
     # query batches run inside one jitted fori_loop.
     from ganreverser_tpu.analysis import cosine_scores
-    n_needles, iters = 256, 20
+    n_needles, iters = min(256, n_images), 20
 
     @jax.jit
     def topk_loop(e):
