@@ -28,10 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(h: int, w: int, act: str):
-    def kernel(x_ref, w_ref, scale_ref, shift_ref, out_ref):
+def _make_kernel(h: int, w: int, act: str, pool: bool):
+    def kernel(x_ref, w_ref, scale_ref, shift_ref, alpha_ref, out_ref):
         """x_ref: (T, H+2, W+2, Ci) pre-padded; w_ref: (9, Ci, Co);
-        scale/shift: (1, Co); out: (T, H, W, Co)."""
+        scale/shift: (1, Co); alpha: (1, 1) PReLU slope;
+        out: (T, H, W, Co) or (T, H/2, W/2, Co) when pooled."""
         t = x_ref.shape[0]
         ci = x_ref.shape[-1]
         co = w_ref.shape[-1]
@@ -51,9 +52,18 @@ def _make_kernel(h: int, w: int, act: str):
             # expm1 has no Mosaic lowering; exp(y)-1 on the clamped negative
             # side is exact to fp32 rounding for the ELU range
             y = jnp.where(y > 0, y, jnp.exp(jnp.minimum(y, 0.0)) - 1.0)
+        elif act == "prelu":
+            # nn.PReLU's shared scalar slope (D/R blocks, models.lua:276)
+            y = jnp.where(y >= 0, y, alpha_ref[0, 0] * y)
         elif act != "none":
             raise ValueError(act)
-        out_ref[:] = y.reshape(t, h, w, co).astype(out_ref.dtype)
+        y = y.reshape(t, h, w, co)
+        if pool:
+            # fused 2x2 maxpool epilogue (nn.SpatialMaxPooling(2,2)):
+            # the conv+act+pool block writes H*W/4 instead of H*W to HBM
+            y = y.reshape(t, h // 2, 2, w // 2, 2, co)
+            y = jnp.max(jnp.max(y, axis=4), axis=2)
+        out_ref[:] = y.astype(out_ref.dtype)
 
     return kernel
 
@@ -74,24 +84,31 @@ def fold_batchnorm(bn_params: dict, bn_state: dict, conv_bias: jax.Array,
 
 def conv3x3_bn_act(x: jax.Array, kernel: jax.Array, scale: jax.Array,
                    shift: jax.Array, *, act: str = "relu",
+                   prelu_alpha: float = 0.25, pool: bool = False,
                    tile_n: int = 8, interpret=None,
                    out_dtype=None) -> jax.Array:
     """x: (N, H, W, Ci); kernel: (3, 3, Ci, Co); scale/shift: (Co,).
-    N must be a multiple of tile_n."""
+    N must be a multiple of tile_n. ``act='prelu'`` uses the shared scalar
+    slope ``prelu_alpha``; ``pool=True`` fuses a trailing 2x2 maxpool
+    (the D/R conv+PReLU+pool block, SURVEY.md §7 step 7)."""
     from .topk_kernel import _auto_interpret
     interpret = _auto_interpret(interpret)
     n, h, w, ci = x.shape
     co = kernel.shape[-1]
     assert n % tile_n == 0, (n, tile_n)
+    if pool:
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
     out_dtype = out_dtype or x.dtype
+    oh, ow = (h // 2, w // 2) if pool else (h, w)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     w9 = kernel.reshape(9, ci, co)
     scale2 = scale.reshape(1, co).astype(jnp.float32)
     shift2 = shift.reshape(1, co).astype(jnp.float32)
+    alpha2 = jnp.full((1, 1), prelu_alpha, jnp.float32)
 
     return pl.pallas_call(
-        _make_kernel(h, w, act),
+        _make_kernel(h, w, act, pool),
         grid=(n // tile_n,),
         in_specs=[
             pl.BlockSpec((tile_n, h + 2, w + 2, ci), lambda i: (i, 0, 0, 0),
@@ -102,9 +119,11 @@ def conv3x3_bn_act(x: jax.Array, kernel: jax.Array, scale: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, h, w, co), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((tile_n, oh, ow, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, co), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, oh, ow, co), out_dtype),
         interpret=interpret,
-    )(xp, w9, scale2, shift2)
+    )(xp, w9, scale2, shift2, alpha2)

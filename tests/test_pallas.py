@@ -79,6 +79,27 @@ def test_conv_bn_act_kernel_matches_modules(key):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_conv_prelu_pool_kernel_matches_modules(key):
+    """Fused conv+PReLU+maxpool vs the D/R block composition
+    (createNxN + nn.SpatialMaxPooling, models.lua:273-291)."""
+    from ganreverser_tpu.ops.conv_kernel import conv3x3_bn_act
+    from ganreverser_tpu import models as M
+
+    seq = M.Sequential([M.Conv(8, 3), M.PReLU(), M.MaxPool(2)])
+    variables, _ = seq.init(key, (8, 8, 4))
+    alpha = float(variables["params"]["l1"]["alpha"][0])
+    x = jax.random.normal(jax.random.fold_in(key, 1), (4, 8, 8, 4))
+    ref, _ = seq.apply(variables, x, train=False)
+
+    out = conv3x3_bn_act(
+        x, variables["params"]["l0"]["kernel"],
+        jnp.ones((8,)), variables["params"]["l0"]["bias"].astype(jnp.float32),
+        act="prelu", prelu_alpha=alpha, pool=True, tile_n=2, interpret=True)
+    assert out.shape == (4, 4, 4, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_conv_bn_act_kernel_relu(key):
     from ganreverser_tpu.ops.conv_kernel import conv3x3_bn_act
     x = jax.random.normal(key, (2, 4, 4, 3))
