@@ -12,9 +12,9 @@ fp32 accumulation (preferred_element_type) for ranking parity with the lax
 reference (tested in tests/test_pallas.py, interpret mode on CPU + compiled
 on TPU). Top-k selection stays in lax.top_k — XLA's sort unit handles it.
 
-Escape hatch: analysis/similarity.py uses the lax path by default;
-``cosine_scores_pallas`` is opt-in via use_pallas=True or
-GANREVERSER_PALLAS=1.
+Escape hatch: analysis/similarity.py's lax path is the default everywhere;
+the Pallas kernels are opt-in via apply_r's ``--pallas`` flag or by calling
+these functions directly.
 """
 from __future__ import annotations
 
