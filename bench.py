@@ -52,6 +52,12 @@ def _time_best(fn, *args, repeats=5):
 
 def main(argv=None):
     full = "--full" in (argv if argv is not None else sys.argv[1:])
+    import os
+    if os.environ.get("GANREVERSER_PLATFORM"):
+        # pin BEFORE any backend init: a dead TPU-tunnel plugin otherwise
+        # hangs jax.default_backend() and the fallback can never fire
+        jax.config.update("jax_platforms",
+                          os.environ["GANREVERSER_PLATFORM"])
     from ganreverser_tpu import models as M
     from ganreverser_tpu.analysis import cosine_topk, forward_batched
     from ganreverser_tpu.core.prng import seed_key
@@ -122,8 +128,10 @@ def main(argv=None):
           f"cosine top-k: {topk_qps:,.0f} qps "
           f"({n_needles} needles x {n_images} embeddings)", file=sys.stderr)
 
+    backend = jax.default_backend()
     print(json.dumps({
-        "metric": "R-inversion images/sec/chip @64x64 (bf16, batch 256)",
+        "metric": (f"R-inversion images/sec/chip @64x64 (bf16, batch "
+                   f"{batch}, backend {backend})"),
         "value": round(inv_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(inv_ips / PER_CHIP_TARGET, 3),

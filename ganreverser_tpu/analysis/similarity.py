@@ -52,6 +52,25 @@ def pixel_cosine_topk(images: jax.Array, needle_idx: jax.Array, k: int):
     return cosine_topk(flat, needle_idx, k)
 
 
+# module-level jitted query programs: shared across SimilarityIndex
+# instances, so rebuilding the index (corpus refresh) never recompiles
+_normalize_jit = jax.jit(normalize_rows)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _index_query(normed, queries, k):
+    qn = normalize_rows(queries)
+    scores = jnp.dot(qn, normed.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _index_query_by_idx(normed, idx, k):
+    qn = jnp.take(normed, idx, axis=0)  # rows already normalized
+    scores = jnp.dot(qn, normed.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
 class SimilarityIndex:
     """Serving-oriented cosine search: normalize the corpus ONCE, keep it
     HBM-resident, answer top-k queries with a single matmul+top_k program.
@@ -63,24 +82,7 @@ class SimilarityIndex:
     """
 
     def __init__(self, embeddings: jax.Array):
-        self._normed = jax.jit(normalize_rows)(embeddings)
-
-        @functools.partial(jax.jit, static_argnums=2)
-        def _query(normed, queries, k):
-            qn = normalize_rows(queries)
-            scores = jnp.dot(qn, normed.T,
-                             preferred_element_type=jnp.float32)
-            return jax.lax.top_k(scores, k)
-
-        @functools.partial(jax.jit, static_argnums=2)
-        def _query_idx(normed, idx, k):
-            qn = jnp.take(normed, idx, axis=0)  # already normalized
-            scores = jnp.dot(qn, normed.T,
-                             preferred_element_type=jnp.float32)
-            return jax.lax.top_k(scores, k)
-
-        self._query = _query
-        self._query_idx = _query_idx
+        self._normed = _normalize_jit(embeddings)
 
     @property
     def size(self) -> int:
@@ -88,8 +90,8 @@ class SimilarityIndex:
 
     def topk(self, queries: jax.Array, k: int):
         """(Q, D) query vectors -> (scores (Q, k), indices (Q, k))."""
-        return self._query(self._normed, queries, k)
+        return _index_query(self._normed, queries, k)
 
     def topk_by_index(self, needle_idx: jax.Array, k: int):
         """Corpus-row needles (the apply_r pattern, apply_r.lua:270-276)."""
-        return self._query_idx(self._normed, needle_idx, k)
+        return _index_query_by_idx(self._normed, needle_idx, k)

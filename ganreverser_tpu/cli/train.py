@@ -153,7 +153,8 @@ def main(argv=None):
         d_optimizer=O.make_optimizer(cfg.D_optmethod, sgd_lr=cfg.D_sgd_lr,
                                      sgd_momentum=cfg.D_sgd_momentum),
         g_optimizer=O.make_optimizer(cfg.G_optmethod, sgd_lr=cfg.G_sgd_lr,
-                                     sgd_momentum=cfg.G_sgd_momentum))
+                                     sgd_momentum=cfg.G_sgd_momentum),
+        mesh=mesh)
 
     writer = MetricsWriter(cfg.save)
     timer = StepTimer(writer, log_every=10, tag="epoch_time")

@@ -61,6 +61,7 @@ def main(argv=None):
           f"{M.count_parameters(g_variables['params'])}")
     print(f"Number of free parameters in R: {M.count_parameters(ts.params)}")
 
+    mesh = None
     if cfg.mesh_data != 1 or cfg.mesh_model != 1:
         # dp over the synthetic batch + tp over the big kernels
         import dataclasses as _dc
@@ -78,7 +79,7 @@ def main(argv=None):
     step = T.make_r_train_step(
         G, R, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,
         noise_method=cfg.noiseMethod, r_l1=cfg.R_L1, r_l2=cfg.R_L2,
-        r_clamp=cfg.R_clamp)
+        r_clamp=cfg.R_clamp, mesh=mesh)
 
     writer = MetricsWriter(cfg.save, name="events_r")
     timer = StepTimer(writer, log_every=100, tag="r_batch_time")

@@ -93,8 +93,11 @@ def process_slice(n: int) -> slice:
     On a single process this is the identity slice."""
     p = jax.process_index()
     np_ = jax.process_count()
+    if n % np_ != 0:
+        raise ValueError(
+            f"global data size {n} must divide evenly by the process count "
+            f"{np_} (pad the dataset or adjust the batch)")
     per = n // np_
-    assert n % np_ == 0, (n, np_)
     return slice(p * per, (p + 1) * per)
 
 

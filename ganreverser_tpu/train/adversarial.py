@@ -77,15 +77,26 @@ def make_adversarial_steps(G: Module, D: Module, *, batch_size: int,
                            d_clamp: float = 1.0, g_clamp: float = 5.0,
                            d_optimizer: Optional[Optimizer] = None,
                            g_optimizer: Optional[Optimizer] = None,
-                           donate: bool = False):
+                           donate: bool = False, mesh=None):
     """Returns jitted ``(d_step, g_step)``.
 
     d_step(gs, real_half, confusion, key) -> (gs, confusion, d_loss)
     g_step(gs, key) -> (gs, g_loss)
+
+    ``mesh``: shard the in-step noise batches over the 'data' axis (without
+    the constraint, G's update — whose batch is sampled inside the jit —
+    compiles fully replicated; D gets its sharding from the real-half input).
     """
     d_opt = d_optimizer or make_optimizer("adam")
     g_opt = g_optimizer or make_optimizer("adam")
     half = batch_size // 2
+
+    def _shard(x):
+        if mesh is None:
+            return x
+        from ..parallel.mesh import data_sharding
+        return jax.lax.with_sharding_constraint(
+            x, data_sharding(mesh, x.ndim))
 
     def d_loss_fn(d_params, d_state, inputs, targets, rng):
         out, new_state = D.apply({"params": d_params, "state": d_state},
@@ -95,7 +106,7 @@ def make_adversarial_steps(G: Module, D: Module, *, batch_size: int,
 
     def d_step(gs: GanState, real_half, confusion: Confusion, key):
         k_noise, k_gdrop, k_ddrop = jax.random.split(key, 3)
-        z = noise_inputs(k_noise, half, noise_dim, noise_method)
+        z = _shard(noise_inputs(k_noise, half, noise_dim, noise_method))
         # fake half from G in training mode (updates G's BN running stats,
         # no G parameter gradient) — adversarial.lua:140 / NN_UTILS.createImages
         fakes, g_new_state = G.apply(gs.g.variables, z, train=True,
@@ -134,7 +145,8 @@ def make_adversarial_steps(G: Module, D: Module, *, batch_size: int,
 
     def g_step(gs: GanState, key):
         k_noise, k_gdrop, k_ddrop = jax.random.split(key, 3)
-        z = noise_inputs(k_noise, batch_size, noise_dim, noise_method)
+        z = _shard(noise_inputs(k_noise, batch_size, noise_dim,
+                                noise_method))
         (loss, (g_new_state, d_new_state)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(gs.g.params, gs.g.state, gs.d.variables,
                                      z, k_gdrop, k_ddrop)

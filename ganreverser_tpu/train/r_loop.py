@@ -28,9 +28,21 @@ def make_r_train_step(G: Module, R: Module, *, batch_size: int,
                       r_l1: float = 0.0, r_l2: float = 1e-4,
                       r_clamp: float = 1.0,
                       opt: Optional[Optimizer] = None,
-                      donate: bool = False) -> Callable:
-    """Returns jitted ``step(g_variables, r_ts, key) -> (r_ts, loss)``."""
+                      donate: bool = False, mesh=None) -> Callable:
+    """Returns jitted ``step(g_variables, r_ts, key) -> (r_ts, loss)``.
+
+    ``mesh``: when given, the synthetic batch sampled INSIDE the step is
+    sharding-constrained over the 'data' axis — without the constraint XLA
+    compiles the whole step replicated (the noise has no sharded ancestor).
+    """
     opt = opt or adam()
+
+    def _shard(x):
+        if mesh is None:
+            return x
+        from ..parallel.mesh import data_sharding
+        return jax.lax.with_sharding_constraint(
+            x, data_sharding(mesh, x.ndim))
 
     def loss_fn(r_params, r_state, images, z, rng):
         out, new_state = R.apply({"params": r_params, "state": r_state},
@@ -39,9 +51,11 @@ def make_r_train_step(G: Module, R: Module, *, batch_size: int,
 
     def step(g_variables, ts: TrainState, key):
         k_noise, k_drop = jax.random.split(key)
-        z = noise_inputs(k_noise, batch_size, noise_dim, noise_method)
+        z = _shard(noise_inputs(k_noise, batch_size, noise_dim,
+                                noise_method))
         # frozen G, eval mode (train_r.lua:69 MODEL_G:evaluate())
         images, _ = G.apply(g_variables, z, train=False)
+        images = _shard(images)
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts.params, ts.state, images, z, k_drop)
         grads, loss = regularize(ts.params, grads, loss, r_l1, r_l2, r_clamp)
