@@ -174,6 +174,14 @@ def main(argv=None):
         tree = common.gan_to_tree(gs, {"vis_noise_inputs": vis_noise})
         gio.save_checkpoint(ckpt_path, tree, config=cfg.to_dict(),
                             extra={"epoch": completed_epoch})
+        if cfg.keep_history > 0:
+            # step-stamped history with keep-N retention (SURVEY.md §5.3)
+            gio.save_checkpoint(f"{ckpt_path}.step{completed_epoch}", tree,
+                                config=cfg.to_dict(),
+                                extra={"epoch": completed_epoch},
+                                backup_old=False)
+            from ..io.checkpoint import _retain
+            _retain(ckpt_path, cfg.keep_history)
         last_saved = completed_epoch
         print(f"<trainer> saving network to {ckpt_path}")
 

@@ -110,6 +110,7 @@ class GanConfig(Config):
     mesh_model: int = _f(1, "tensor-parallel mesh axis size")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
     profile_dir: str = _f("", "write a jax.profiler trace of one epoch here")
+    keep_history: int = _f(0, "also keep the newest N step-stamped checkpoints (adversarial.step<E>); 0 = only latest + .old")
 
 
 @dataclass
