@@ -22,14 +22,54 @@ fetch before the timed runs.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 PER_CHIP_TARGET = 50000.0 / 8.0  # north-star v5e-8 target, per chip
+
+BACKEND_INIT_TIMEOUT_S = 600  # hang guard for a wedged TPU-tunnel plugin
+
+
+def _resolve_backend() -> str:
+    """Return the backend name, surviving a dead/wedged TPU plugin.
+
+    Round-1 failure mode (BENCH_r01.json): ``jax.default_backend()`` *raises*
+    RuntimeError when the registered axon TPU plugin is unavailable, so any
+    fallback gated on its return value can never fire. Here the probe is
+    wrapped: on exception (or a SIGALRM if backend init hangs) we pin
+    ``jax_platforms=cpu`` — verified to recover after a failed init — and
+    re-probe. The emitted JSON always labels the backend honestly.
+    """
+    if os.environ.get("GANREVERSER_PLATFORM"):
+        # pin BEFORE any backend init: a dead TPU-tunnel plugin otherwise
+        # breaks jax.default_backend() (JAX_PLATFORMS env var alone does
+        # not win over the axon plugin; the config update does)
+        jax.config.update("jax_platforms", os.environ["GANREVERSER_PLATFORM"])
+        return jax.default_backend()
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"backend init exceeded {BACKEND_INIT_TIMEOUT_S}s")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(BACKEND_INIT_TIMEOUT_S)
+    try:
+        return jax.default_backend()
+    except Exception as e:  # noqa: BLE001 — any init failure → CPU
+        print(f"[bench] WARNING: backend init failed "
+              f"({type(e).__name__}: {e}); pinning CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _force(x):
@@ -52,12 +92,7 @@ def _time_best(fn, *args, repeats=5):
 
 def main(argv=None):
     full = "--full" in (argv if argv is not None else sys.argv[1:])
-    import os
-    if os.environ.get("GANREVERSER_PLATFORM"):
-        # pin BEFORE any backend init: a dead TPU-tunnel plugin otherwise
-        # hangs jax.default_backend() and the fallback can never fire
-        jax.config.update("jax_platforms",
-                          os.environ["GANREVERSER_PLATFORM"])
+    backend = _resolve_backend()
     from ganreverser_tpu import models as M
     from ganreverser_tpu.analysis import cosine_topk, forward_batched
     from ganreverser_tpu.core.prng import seed_key
@@ -65,7 +100,7 @@ def main(argv=None):
     dims, nd = (3, 64, 64), 100
     n_images = 10240
     batch = 256  # fastest in the measured 256/512/1024/2048 sweep on v5e
-    if jax.default_backend() == "cpu":
+    if backend == "cpu":
         # no TPU in this environment: shrink so the benchmark still
         # completes and reports (numbers are then CPU numbers, not the
         # headline chip rate)
@@ -128,7 +163,6 @@ def main(argv=None):
           f"cosine top-k: {topk_qps:,.0f} qps "
           f"({n_needles} needles x {n_images} embeddings)", file=sys.stderr)
 
-    backend = jax.default_backend()
     print(json.dumps({
         "metric": (f"R-inversion images/sec/chip @64x64 (bf16, batch "
                    f"{batch}, backend {backend})"),
@@ -139,4 +173,17 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # noqa: BLE001 — last-resort: always emit a JSON line
+        traceback.print_exc()
+        if os.environ.get("GANREVERSER_PLATFORM") != "cpu":
+            # anything TPU-side went wrong mid-run (compile error, OOM,
+            # tunnel drop): re-exec pinned to CPU so the driver still gets
+            # a parsed, honestly-labeled number
+            print("[bench] retrying on CPU after failure", file=sys.stderr)
+            os.environ["GANREVERSER_PLATFORM"] = "cpu"
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__)]
+                     + sys.argv[1:])
+        sys.exit(1)

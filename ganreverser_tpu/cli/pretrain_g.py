@@ -79,6 +79,10 @@ def main(argv=None):
         print(f"<trainer> Epoch {epoch}")
         data = dataset.load_random_images(cfg.N_epoch * cfg.batchSize)
         data = jnp.asarray(data)
+        if data.shape[0] < cfg.batchSize:
+            raise SystemExit(
+                f"Dataset holds only {data.shape[0]} images — need at "
+                f"least one full batch of {cfg.batchSize}")
         loss = None
         for b in range(cfg.N_epoch):
             batch = data[b * cfg.batchSize:(b + 1) * cfg.batchSize]

@@ -16,6 +16,14 @@ from typing import Callable, Iterator, Optional
 import jax
 
 
+class _WorkerError:
+    """Wraps an exception raised on the prefetch thread for re-raise in
+    the consumer (fail-fast instead of a hung q.get())."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch_to_device(batch_fn: Callable[[int], object], n_batches: int,
                        *, sharding=None, depth: int = 2) -> Iterator:
     """Yield ``n_batches`` device arrays, producing ``batch_fn(i)`` on a
@@ -28,13 +36,21 @@ def prefetch_to_device(batch_fn: Callable[[int], object], n_batches: int,
     stop = threading.Event()
 
     def worker():
+        # Any batch_fn/device_put failure (bad --dataset path, corrupt
+        # JPEG — path scanning happens lazily in this thread) is enqueued
+        # and re-raised in the consumer; without this the consumer would
+        # block forever on q.get() after the worker died.
         i = 0
-        while not stop.is_set() and (n_batches < 0 or i < n_batches):
-            host = batch_fn(i)
-            dev = jax.device_put(host, sharding)
-            q.put(dev)
-            i += 1
-        q.put(None)
+        try:
+            while not stop.is_set() and (n_batches < 0 or i < n_batches):
+                host = batch_fn(i)
+                dev = jax.device_put(host, sharding)
+                q.put(dev)
+                i += 1
+        except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+            q.put(_WorkerError(e))
+        finally:
+            q.put(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -43,6 +59,8 @@ def prefetch_to_device(batch_fn: Callable[[int], object], n_batches: int,
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, _WorkerError):
+                raise item.exc
             yield item
     finally:
         stop.set()

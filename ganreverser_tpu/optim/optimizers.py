@@ -84,16 +84,20 @@ def adagrad(lr: float = 1e-2, lr_decay: float = 0.0,
         clr = lr / (1.0 + step.astype(jnp.float32) * lr_decay)
 
         def one(g, p, a):
+            # torch optim.adagrad accumulates the weight-decayed gradient;
+            # update and accumulator derive from the same decayed g
             if weight_decay != 0.0:
                 g = g + weight_decay * p
             a = a + g * g
             return -clr * g / (jnp.sqrt(a) + eps), a
 
-        new_acc = jax.tree_util.tree_map(
-            lambda g, a: a + g * g, grads, state["acc"])
-        updates = jax.tree_util.tree_map(
-            lambda g, p, a: one(g, p, a)[0], grads, params, state["acc"])
-        return updates, {"step": step + 1, "acc": new_acc}
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_a = jax.tree_util.tree_leaves(state["acc"])
+        outs = [one(g, p, a) for g, p, a in zip(flat_g, flat_p, flat_a)]
+        return (tdef.unflatten([o[0] for o in outs]),
+                {"step": step + 1,
+                 "acc": tdef.unflatten([o[1] for o in outs])})
 
     return Optimizer(init, update)
 

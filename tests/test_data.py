@@ -93,6 +93,20 @@ def test_prefetch(rng):
     assert float(batches[3][0, 0]) == 3.0
 
 
+def test_prefetch_worker_error_propagates(rng):
+    """A batch_fn failure on the worker thread must re-raise in the consumer
+    (fail-fast) instead of leaving it blocked on q.get() forever."""
+    def bad_batch(i):
+        if i == 2:
+            raise ValueError("corrupt JPEG at batch 2")
+        return np.zeros((2, 2), np.float32)
+
+    it = D.prefetch_to_device(bad_batch, 5)
+    import pytest
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        list(it)
+
+
 def test_grid_epoch_stamp():
     imgs = np.ones((4, 8, 8, 1), np.float32) * 0.5
     g = grids.images_to_grid(imgs, 2, 2, epoch=42)
