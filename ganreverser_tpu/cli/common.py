@@ -28,6 +28,40 @@ def configure_platform():
         jax.config.update("jax_platforms", plat)
 
 
+def maybe_distributed(cfg) -> bool:
+    """Join the multi-process runtime when --coordinator_address is set
+    (must run before any device use; parallel/multihost.py)."""
+    started = par.initialize_distributed(
+        getattr(cfg, "coordinator_address", ""),
+        getattr(cfg, "num_processes", 0),
+        getattr(cfg, "process_id", -1))
+    if started:
+        print(f"<trainer> joined distributed runtime: process "
+              f"{jax.process_index()}/{jax.process_count()}, "
+              f"{jax.device_count()} global devices")
+    return started
+
+
+def place_gan_on_mesh(gs: T.GanState, mesh) -> T.GanState:
+    """TP-shard params/opt state, replicate module state — multi-process
+    aware (device_put cannot place onto non-addressable devices)."""
+    import dataclasses as _dc
+    multi = jax.process_count() > 1
+    shard = par.shard_params_global if multi else par.shard_params
+
+    def place(ts):
+        return _dc.replace(
+            ts,
+            params=shard(ts.params, mesh),
+            state=(par.replicate_global(ts.state, mesh) if multi
+                   else par.replicate(ts.state, mesh)),
+            opt_state=shard(ts.opt_state, mesh),
+            step=(par.replicate_global(ts.step, mesh) if multi
+                  else ts.step))
+
+    return T.GanState(g=place(gs.g), d=place(gs.d))
+
+
 def compute_dtype(cfg) -> jnp.dtype:
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         getattr(cfg, "compute_dtype", "float32")]

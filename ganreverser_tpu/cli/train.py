@@ -56,6 +56,7 @@ def visualize_progress(writer: MetricsWriter, gen, rate, gs, vis_noise, cfg,
 def main(argv=None):
     common.configure_platform()
     cfg = GanConfig.from_args(argv, "adversarial G/D training (train.lua)")
+    common.maybe_distributed(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
     dataset = common.make_dataset(cfg)
@@ -125,21 +126,12 @@ def main(argv=None):
     print(f"Number of free parameters in G: {n_params_g}")
 
     mesh = None
-    if cfg.mesh_data != 1 or cfg.mesh_model != 1:
+    if cfg.mesh_data != 1 or cfg.mesh_model != 1 or jax.process_count() > 1:
         # dp: batch sharded over 'data'; tp: big kernels over 'model'
         from .. import parallel as par
         mesh = par.make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
         print(f"<trainer> mesh: {dict(mesh.shape)}")
-
-        def place(ts):
-            import dataclasses as _dc
-            return _dc.replace(
-                ts,
-                params=par.shard_params(ts.params, mesh),
-                state=par.replicate(ts.state, mesh),
-                opt_state=par.shard_params(ts.opt_state, mesh))
-
-        gs = T.GanState(g=place(gs.g), d=place(gs.d))
+        gs = common.place_gan_on_mesh(gs, mesh)
 
     if vis_noise is None:
         vis_noise = noise_inputs(jax.random.fold_in(key, 100), 100,
@@ -189,8 +181,17 @@ def main(argv=None):
     # the device trains on the current ones (data/prefetch.py)
     from ..data import prefetch_to_device
     n_load = (cfg.N_epoch * cfg.batchSize // 2) * cfg.D_iterations
-    data_iter = prefetch_to_device(
-        lambda i: dataset.load_random_images(n_load), -1)
+    if jax.process_count() > 1:
+        # host-local loading: each process decodes only its slice of the
+        # global batch; global arrays are assembled per epoch below
+        from .. import parallel as par
+        n_local = par.process_slice(n_load)
+        data_iter = prefetch_to_device(
+            lambda i: dataset.load_random_images(n_local.stop
+                                                 - n_local.start), -1)
+    else:
+        data_iter = prefetch_to_device(
+            lambda i: dataset.load_random_images(n_load), -1)
 
     while True:
         # fixed: the reference's inverted --epochs check stops immediately
@@ -204,7 +205,11 @@ def main(argv=None):
         train_data = next(data_iter)
         if mesh is not None:
             from .. import parallel as par
-            train_data = par.shard_batch(train_data, mesh)
+            if jax.process_count() > 1:
+                train_data = par.global_batch_from_local(
+                    np.asarray(train_data), mesh)
+            else:
+                train_data = par.shard_batch(train_data, mesh)
 
         if not cfg.noplot:
             visualize_progress(writer, vis_gen, vis_rate, gs, vis_noise,

@@ -30,6 +30,7 @@ from . import common
 def main(argv=None):
     common.configure_platform()
     cfg = RConfig.from_args(argv, "Reverser training (train_r.lua)")
+    common.maybe_distributed(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
 
@@ -62,19 +63,23 @@ def main(argv=None):
     print(f"Number of free parameters in R: {M.count_parameters(ts.params)}")
 
     mesh = None
-    if cfg.mesh_data != 1 or cfg.mesh_model != 1:
+    if cfg.mesh_data != 1 or cfg.mesh_model != 1 or jax.process_count() > 1:
         # dp over the synthetic batch + tp over the big kernels
         import dataclasses as _dc
         from .. import parallel as par
         mesh = par.make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
         print(f"<trainer> mesh: {dict(mesh.shape)}")
-        g_variables = {"params": par.shard_params(g_variables["params"],
-                                                  mesh),
-                       "state": par.replicate(g_variables["state"], mesh)}
+        multi = jax.process_count() > 1
+        shard = par.shard_params_global if multi else par.shard_params
+        repl = (par.replicate_global if multi
+                else lambda t, m: par.replicate(t, m))
+        g_variables = {"params": shard(g_variables["params"], mesh),
+                       "state": repl(g_variables["state"], mesh)}
         ts = _dc.replace(ts,
-                         params=par.shard_params(ts.params, mesh),
-                         state=par.replicate(ts.state, mesh),
-                         opt_state=par.shard_params(ts.opt_state, mesh))
+                         params=shard(ts.params, mesh),
+                         state=repl(ts.state, mesh),
+                         opt_state=shard(ts.opt_state, mesh),
+                         step=repl(ts.step, mesh) if multi else ts.step)
 
     step = T.make_r_train_step(
         G, R, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,

@@ -111,6 +111,9 @@ class GanConfig(Config):
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
     profile_dir: str = _f("", "write a jax.profiler trace of one epoch here")
     keep_history: int = _f(0, "also keep the newest N step-stamped checkpoints (adversarial.step<E>); 0 = only latest + .old")
+    coordinator_address: str = _f("", "multi-process: host:port of process 0 (jax.distributed); empty = single-process")
+    num_processes: int = _f(0, "multi-process: total process count")
+    process_id: int = _f(-1, "multi-process: this process's index")
 
 
 @dataclass
@@ -138,6 +141,9 @@ class RConfig(Config):
     mesh_data: int = _f(1, "data-parallel mesh axis size (0 = all devices, 1 = single-device)")
     mesh_model: int = _f(1, "tensor-parallel mesh axis size")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
+    coordinator_address: str = _f("", "multi-process: host:port of process 0 (jax.distributed); empty = single-process")
+    num_processes: int = _f(0, "multi-process: total process count")
+    process_id: int = _f(-1, "multi-process: this process's index")
 
 
 @dataclass

@@ -1,0 +1,45 @@
+"""2-process CPU localhost smoke test for the multi-host wiring
+(parallel/multihost.py; SURVEY.md §5.8). Spawns two subprocesses that join
+one jax.distributed runtime over a shared mesh, exercise process_slice +
+global_batch_from_local, and run one data-parallel R train step each —
+asserting both processes compute the same loss."""
+import os
+import socket
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_step():
+    port = _free_port()
+    env = dict(os.environ)
+    # each worker pins CPU itself; scrub the 8-virtual-device test flag so
+    # every process owns exactly one device (1 device x 2 processes)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_LOSS"):
+                _, pid, val = line.split()
+                losses[int(pid)] = float(val)
+    assert set(losses) == {0, 1}, outs
+    assert losses[0] == losses[1], losses
