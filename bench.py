@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import signal
 import sys
 import time
 import traceback
@@ -38,38 +37,39 @@ BACKEND_INIT_TIMEOUT_S = 600  # hang guard for a wedged TPU-tunnel plugin
 
 
 def _resolve_backend() -> str:
-    """Return the backend name, surviving a dead/wedged TPU plugin.
+    """Return the backend name, surviving a dead OR wedged TPU plugin.
 
-    Round-1 failure mode (BENCH_r01.json): ``jax.default_backend()`` *raises*
-    RuntimeError when the registered axon TPU plugin is unavailable, so any
-    fallback gated on its return value can never fire. Here the probe is
-    wrapped: on exception (or a SIGALRM if backend init hangs) we pin
-    ``jax_platforms=cpu`` — verified to recover after a failed init — and
-    re-probe. The emitted JSON always labels the backend honestly.
+    Round-1 failure modes, both observed on the axon tunnel:
+    * ``jax.default_backend()`` *raises* RuntimeError when the plugin is
+      unavailable — so any fallback gated on its return value never fires
+      (BENCH_r01.json);
+    * backend init *blocks indefinitely* inside the plugin's C++ client —
+      an in-process SIGALRM cannot interrupt that (Python signal handlers
+      only run between bytecodes), so the probe must be a killable
+      SUBPROCESS with a wall-clock timeout.
+
+    On probe failure/timeout the parent pins ``jax_platforms=cpu`` (the
+    config update is authoritative; the JAX_PLATFORMS env var loses to the
+    plugin registration) and the emitted JSON labels the backend honestly.
     """
     if os.environ.get("GANREVERSER_PLATFORM"):
-        # pin BEFORE any backend init: a dead TPU-tunnel plugin otherwise
-        # breaks jax.default_backend() (JAX_PLATFORMS env var alone does
-        # not win over the axon plugin; the config update does)
         jax.config.update("jax_platforms", os.environ["GANREVERSER_PLATFORM"])
         return jax.default_backend()
 
-    def _alarm(signum, frame):
-        raise TimeoutError(
-            f"backend init exceeded {BACKEND_INIT_TIMEOUT_S}s")
-
-    old = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(BACKEND_INIT_TIMEOUT_S)
+    import subprocess
     try:
-        return jax.default_backend()
-    except Exception as e:  # noqa: BLE001 — any init failure → CPU
-        print(f"[bench] WARNING: backend init failed "
-              f"({type(e).__name__}: {e}); pinning CPU", file=sys.stderr)
-        jax.config.update("jax_platforms", "cpu")
-        return jax.default_backend()
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=BACKEND_INIT_TIMEOUT_S)
+        if probe.returncode == 0 and probe.stdout.strip():
+            return jax.default_backend()  # plugin healthy; init in-process
+        reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        reason = f"probe wedged > {BACKEND_INIT_TIMEOUT_S}s (killed)"
+    print(f"[bench] WARNING: TPU backend unusable ({reason}); pinning CPU",
+          file=sys.stderr)
+    jax.config.update("jax_platforms", "cpu")
+    return jax.default_backend()
 
 
 def _force(x):

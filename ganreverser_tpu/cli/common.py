@@ -99,8 +99,9 @@ def make_dataset(cfg) -> Dataset:
 
 def build_gan_models(cfg, dtype):
     dims = cfg.img_dims()
-    G = M.create_G(dims, cfg.noiseDim, dtype=dtype)
-    D = M.create_D(dims, dtype=dtype)
+    init = getattr(cfg, "init", "heuristic")
+    G = M.create_G(dims, cfg.noiseDim, dtype=dtype, init=init)
+    D = M.create_D(dims, dtype=dtype, init=init)
     return G, D, dims
 
 

@@ -72,6 +72,8 @@ def main(argv=None):
         cfg.network = ckpt_path
     elif cfg.network == "latest":
         cfg.network = ""
+    plot_data: list = []
+    normalize_stats = None  # (mean, std) — dummy 0.5/0.5 (nn_utils.lua:377)
     if cfg.network:
         # resume (train.lua:110-125): restores epoch+1 and the fixed vis noise
         tree, saved_cfg, extra = gio.load_checkpoint(
@@ -80,6 +82,13 @@ def main(argv=None):
         gs = common.gan_from_tree(tree)
         epoch = int(extra.get("epoch", 0)) + 1
         vis_noise = jnp.asarray(tree["vis_noise_inputs"])
+        # loss-history continuity: plot_data travels in the checkpoint
+        # (train.lua:256) — and, improving on the reference (which resets
+        # PLOT_DATA on resume, train.lua:203), is restored here
+        plot_data = list(extra.get("plot_data", []))
+        if cfg.normalize and extra.get("normalize_mean") is not None:
+            normalize_stats = (extra["normalize_mean"],
+                               extra["normalize_std"])  # train.lua:117-119
         print(f"<trainer> reloaded network, continuing at epoch {epoch}")
     else:
         gs = None
@@ -164,13 +173,19 @@ def main(argv=None):
     def save(completed_epoch):
         nonlocal last_saved
         tree = common.gan_to_tree(gs, {"vis_noise_inputs": vis_noise})
+        # checkpoint schema of train.lua:256: epoch + plot_data (loss
+        # history) + normalize_mean/std all travel with the weights
+        extra = {"epoch": completed_epoch, "plot_data": plot_data,
+                 "normalize_mean": (normalize_stats[0] if normalize_stats
+                                    else None),
+                 "normalize_std": (normalize_stats[1] if normalize_stats
+                                   else None)}
         gio.save_checkpoint(ckpt_path, tree, config=cfg.to_dict(),
-                            extra={"epoch": completed_epoch})
+                            extra=extra)
         if cfg.keep_history > 0:
             # step-stamped history with keep-N retention (SURVEY.md §5.3)
             gio.save_checkpoint(f"{ckpt_path}.step{completed_epoch}", tree,
-                                config=cfg.to_dict(),
-                                extra={"epoch": completed_epoch},
+                                config=cfg.to_dict(), extra=extra,
                                 backup_old=False)
             from ..io.checkpoint import _retain
             _retain(ckpt_path, cfg.keep_history)
@@ -203,6 +218,16 @@ def main(argv=None):
             break
         print(f"<trainer> Loading {n_load} new training images...")
         train_data = next(data_iter)
+        if cfg.normalize:
+            # [0,1] -> [-1,1] (train.lua:217-218); the stored mean/std are
+            # the reference's dummy 0.5/0.5 (nn_utils.lua:377-378). Kept
+            # quirk: G's sigmoid output stays in [0,1], so normalized real
+            # data is distinguishable by range alone — reference default is
+            # off for the same reason.
+            from ..data import normalize_images
+            host = np.asarray(train_data, np.float32)
+            normalize_stats = normalize_images(host)
+            train_data = jnp.asarray(host)
         if mesh is not None:
             from .. import parallel as par
             if jax.process_count() > 1:
@@ -232,6 +257,9 @@ def main(argv=None):
         writer.scalar("d_loss", float(d_losses.mean()), step=epoch)
         writer.scalar("g_loss", float(g_losses.mean()), step=epoch)
         writer.scalar("d_accuracy", acc, step=epoch)
+        # loss history carried in the checkpoint (PLOT_DATA, train.lua:256)
+        plot_data.append([epoch, float(d_losses.mean()),
+                          float(g_losses.mean()), acc])
         timer.tick(epoch)
 
         if epoch % cfg.saveFreq == 0 or guard.should_stop:

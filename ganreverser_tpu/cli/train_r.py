@@ -102,6 +102,18 @@ def main(argv=None):
         fixed, _ = G.apply(gv, z_hat, train=False)
         return imgs, fixed
 
+    @jax.jit
+    def recover(gv, rv, z, rng):
+        imgs, _ = G.apply(gv, z, train=False)
+        if cfg.fixer:
+            z_hat, _ = R.apply(rv, imgs, train=False, rng=rng)
+        else:
+            z_hat, _ = R.apply(rv, imgs, train=False)
+        return z_hat
+
+    def _fmt10(v) -> str:
+        return " ".join(f"{float(x):.2f}" for x in np.asarray(v)[:10])
+
     last_saved = None
 
     def save():
@@ -130,6 +142,15 @@ def main(argv=None):
                            np.max(losses[-100:]))
             print(f"<trainer> batch {batch_idx} loss "
                   f"low/avg/high: {lo:.4f}/{avg:.4f}/{hi:.4f}")
+            # side-by-side noise-vs-recovered printout of the first 10
+            # components (train_r.lua:178-183)
+            z_ex = noise_inputs(jax.random.fold_in(key, 6), 2, cfg.noiseDim,
+                                cfg.noiseMethod)
+            z_hat = recover(g_variables, ts.variables, z_ex,
+                            jax.random.fold_in(key, 5))
+            print("Example:")
+            print(f"Noise for G: {_fmt10(z_ex[0])}")
+            print(f"Result by R: {_fmt10(z_hat[0])}")
             writer.scalar("r_loss_low", lo, step=batch_idx)
             writer.scalar("r_loss_avg", avg, step=batch_idx)
             writer.scalar("r_loss_high", hi, step=batch_idx)

@@ -105,6 +105,8 @@ class GanConfig(Config):
     height: int = _f(32, "height of the training images")
     width: int = _f(32, "width of the training images")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    normalize: bool = _f(False, "normalize training data to [-1,1] (the reference's hardcoded NORMALIZE global, train.lua:51,217-218 — exposed as a flag here; mean/std travel in the checkpoint, train.lua:256)")
+    init: str = _f("heuristic", "weight init: heuristic (clean default) | torch (reproduce the reference's accidental initial distributions — see models/zoo.py) | xavier | xavier_caffe | kaiming")
     # TPU-native additions (no reference equivalent):
     mesh_data: int = _f(1, "data-parallel mesh axis size (0 = all devices, 1 = single-device)")
     mesh_model: int = _f(1, "tensor-parallel mesh axis size")

@@ -75,6 +75,7 @@ class Dense(Module):
     (weight-init.lua:64-65)."""
     features: int
     init_scheme: str = "heuristic"
+    init_zero_bias: bool = True
     dtype: Any = jnp.float32
 
     def out_shape(self, in_shape: Shape) -> Shape:
@@ -82,7 +83,8 @@ class Dense(Module):
 
     def init(self, key, in_shape):
         fan_in = in_shape[-1]
-        params = init_dense(key, fan_in, self.features, self.init_scheme)
+        params = init_dense(key, fan_in, self.features, self.init_scheme,
+                            self.init_zero_bias)
         return {"params": params, "state": {}}, self.out_shape(in_shape)
 
     def apply(self, variables, x, *, train=False, rng=None):
@@ -101,6 +103,7 @@ class Conv(Module):
     kernel: int = 3
     stride: int = 1
     init_scheme: str = "heuristic"
+    init_zero_bias: bool = True
     dtype: Any = jnp.float32
 
     def out_shape(self, in_shape: Shape) -> Shape:
@@ -110,7 +113,7 @@ class Conv(Module):
     def init(self, key, in_shape):
         in_ch = in_shape[-1]
         params = init_conv(key, in_ch, self.features, self.kernel,
-                           self.init_scheme)
+                           self.init_scheme, self.init_zero_bias)
         return {"params": params, "state": {}}, self.out_shape(in_shape)
 
     def apply(self, variables, x, *, train=False, rng=None):
@@ -161,11 +164,16 @@ class BatchNorm(Module):
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    scale_init: str = "ones"  # 'torch' = uniform(0,1), old-torch BN:reset()
     dtype: Any = jnp.float32
 
     def init(self, key, in_shape):
         f = self.features
-        params = {"scale": jnp.ones((f,), jnp.float32),
+        if self.scale_init == "torch":
+            scale = jax.random.uniform(key, (f,), jnp.float32)
+        else:
+            scale = jnp.ones((f,), jnp.float32)
+        params = {"scale": scale,
                   "bias": jnp.zeros((f,), jnp.float32)}
         state = {"mean": jnp.zeros((f,), jnp.float32),
                  "var": jnp.ones((f,), jnp.float32)}

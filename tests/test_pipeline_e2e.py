@@ -110,20 +110,48 @@ def test_full_pipeline(workdir, trained_gan):
 
 
 def test_train_resume(workdir, trained_gan):
-    """--network resume restores epoch+1 and the fixed vis noise
-    (train.lua:110-125). Must run before test_pretrainers, which overwrites
-    the shared adversarial checkpoint with a different geometry."""
+    """--network resume restores epoch+1, the fixed vis noise, AND the loss
+    history: plot_data travels in the checkpoint (train.lua:256) and keeps
+    accumulating across the resume. Must run before test_pretrainers, which
+    overwrites the shared adversarial checkpoint with a different geometry."""
     from ganreverser_tpu.cli import train
     from ganreverser_tpu import io as gio
     save = trained_gan
     ck = os.path.join(save, "adversarial")
     _, cfgd, extra0 = gio.load_checkpoint(ck)
+    pd0 = extra0["plot_data"]
+    assert len(pd0) == int(extra0["epoch"])  # one row per completed epoch
     train.main(["--save", save, "--network", ck, "--epochs",
                 str(int(extra0["epoch"]) + 1), "--N_epoch", "1",
                 "--batchSize", "8", "--noiseDim", "8", "--saveFreq", "1",
                 "--nopretraining"] + GEOM)
     _, _, extra1 = gio.load_checkpoint(ck)
     assert int(extra1["epoch"]) == int(extra0["epoch"]) + 1
+    pd1 = extra1["plot_data"]
+    assert pd1[:len(pd0)] == pd0 and len(pd1) == len(pd0) + 1
+    assert all(np.isfinite(v) for row in pd1 for v in row)
+
+
+def test_train_normalize_roundtrip(workdir):
+    """--normalize maps training data to [-1,1] and the (dummy 0.5/0.5,
+    nn_utils.lua:377-378) mean/std travel in the checkpoint
+    (train.lua:256) and are restored on resume (train.lua:117-119)."""
+    from ganreverser_tpu.cli import train
+    from ganreverser_tpu import io as gio
+    save = os.path.join(workdir, "norm_logs")
+    train.main(["--save", save, "--epochs", "1", "--N_epoch", "1",
+                "--batchSize", "8", "--noiseDim", "8", "--saveFreq", "1",
+                "--nopretraining", "--normalize"] + GEOM)
+    ck = os.path.join(save, "adversarial")
+    _, cfgd, extra = gio.load_checkpoint(ck)
+    assert cfgd["normalize"] is True
+    assert extra["normalize_mean"] == 0.5 and extra["normalize_std"] == 0.5
+    # resume path restores the stats without recomputation
+    train.main(["--save", save, "--network", ck, "--epochs", "2",
+                "--N_epoch", "1", "--batchSize", "8", "--noiseDim", "8",
+                "--saveFreq", "1", "--nopretraining", "--normalize"] + GEOM)
+    _, _, extra2 = gio.load_checkpoint(ck)
+    assert extra2["normalize_mean"] == 0.5
 
 
 def test_pretrainers(workdir, trained_gan):
