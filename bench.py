@@ -131,8 +131,29 @@ def main(argv=None):
         images = generate(g_vars, z)
         _force(images)
         t_gen = _time_best(generate, g_vars, z)
-        print(f"[bench] G-generate: {n_images / t_gen:,.0f} img/s",
+        print(f"[bench] G-generate (XLA): {n_images / t_gen:,.0f} img/s",
               file=sys.stderr)
+
+        # fused Pallas decoder (upsample+conv+BN+ReLU blocks) on the same
+        # checkpoint pytree — models/fastpath.py. TPU only: off-TPU the
+        # kernels run in the (glacial) interpreter, which measures nothing.
+        if backend == "tpu":
+            from ganreverser_tpu.models.fastpath import make_fast_generator
+            fastgen = make_fast_generator(dims, nd, dtype=jnp.bfloat16,
+                                          tile_n=4)
+
+            @jax.jit
+            def generate_fast(gv, z):
+                return forward_batched(lambda b: fastgen(gv, b), z, batch)
+
+            try:
+                _force(generate_fast(g_vars, z))
+                t_fast = _time_best(generate_fast, g_vars, z)
+                print(f"[bench] G-generate (Pallas fused): "
+                      f"{n_images / t_fast:,.0f} img/s", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — report, keep headline
+                print(f"[bench] Pallas G path failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
     else:
         images = jax.random.uniform(jax.random.fold_in(key, 3),
                                     (n_images, 64, 64, 3), jnp.bfloat16)

@@ -146,9 +146,13 @@ def main(argv=None):
         vis_noise = noise_inputs(jax.random.fold_in(key, 100), 100,
                                  cfg.noiseDim, cfg.noiseMethod)
 
-    d_step, g_step = T.make_adversarial_steps(
+    # the whole epoch compiles to ONE program (lax.scan over batches):
+    # a single device dispatch per epoch instead of 2+ per batch —
+    # preemption consequently checkpoints at epoch granularity
+    epoch_program = T.make_epoch_program(
         G, D, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,
-        noise_method=cfg.noiseMethod,
+        noise_method=cfg.noiseMethod, n_batches=cfg.N_epoch,
+        d_iterations=cfg.D_iterations, g_iterations=cfg.G_iterations,
         d_l1=cfg.D_L1, d_l2=cfg.D_L2, g_l1=cfg.G_L1, g_l2=cfg.G_L2,
         d_clamp=cfg.D_clamp, g_clamp=cfg.G_clamp,
         d_optimizer=O.make_optimizer(cfg.D_optmethod, sgd_lr=cfg.D_sgd_lr,
@@ -243,12 +247,8 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         from ..io.metrics import profiler_trace
         with profiler_trace(cfg.profile_dir if epoch == 2 else None):
-            gs, confusion, (d_losses, g_losses) = T.train_epoch(
-                d_step, g_step, gs, train_data, sub,
-                batch_size=cfg.batchSize, n_batches=cfg.N_epoch,
-                d_iterations=cfg.D_iterations,
-                g_iterations=cfg.G_iterations,
-                should_stop=lambda: guard.should_stop)
+            gs, confusion, (d_losses, g_losses) = epoch_program(
+                gs, T.Confusion.zero(), train_data, sub)
         acc = float(confusion.total_valid)
         print(f"<trainer> Epoch #{epoch} [batchSize = {cfg.batchSize}] "
               f"d_loss: {float(d_losses.mean()):.4f} "

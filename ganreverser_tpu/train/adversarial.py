@@ -161,8 +161,69 @@ def make_adversarial_steps(G: Module, D: Module, *, batch_size: int,
         return GanState(g=g, d=d), loss
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(d_step, donate_argnums=donate_argnums), \
-        jax.jit(g_step, donate_argnums=donate_argnums)
+    d_jit = jax.jit(d_step, donate_argnums=donate_argnums)
+    g_jit = jax.jit(g_step, donate_argnums=donate_argnums)
+    # raw (unjitted) bodies for composition into the single-scan epoch
+    d_jit.raw, g_jit.raw = d_step, g_step
+    return d_jit, g_jit
+
+
+def make_epoch_program(G: Module, D: Module, *, batch_size: int,
+                       noise_dim: int, noise_method: str, n_batches: int,
+                       d_iterations: int = 1, g_iterations: int = 1,
+                       mesh=None, donate: bool = True, **penalties):
+    """The WHOLE epoch as one jitted ``lax.scan`` program.
+
+    The reference's epoch is a host-driven loop of per-batch closures
+    (adversarial.lua:52-195); `train_epoch` mirrors that shape with 2+
+    device dispatches per batch — ~60 round trips per default epoch, real
+    latency on a high-RTT link (the axon tunnel's ~28 ms). Here the batch
+    loop is `lax.scan` inside ONE compiled program: a single dispatch per
+    epoch, with the D/G alternation order, sequential real-half consumption
+    (modulo wraparound like the exampleForDIdx cursor, adversarial.lua:
+    129-137), and confusion accumulation all preserved.
+
+    Returns jitted ``epoch(gs, confusion, train_data, key) ->
+    (gs, confusion, (d_losses, g_losses))`` where ``train_data`` holds at
+    least one image and losses have shape (n_batches*{d,g}_iterations,).
+    """
+    d_step, g_step = make_adversarial_steps(
+        G, D, batch_size=batch_size, noise_dim=noise_dim,
+        noise_method=noise_method, mesh=mesh, **penalties)
+    d_body, g_body = d_step.raw, g_step.raw
+    half = batch_size // 2
+    need = n_batches * d_iterations * half
+
+    def epoch(gs: GanState, confusion: Confusion, train_data, key):
+        n_data = train_data.shape[0]
+        # sequential consumption with wraparound, gathered ONCE:
+        # identical order to the reference's per-batch cursor
+        idx = jnp.arange(need, dtype=jnp.int32) % n_data
+        reals = train_data[idx].reshape(
+            (n_batches, d_iterations, half) + train_data.shape[1:])
+        keys = jax.random.split(key, n_batches)
+
+        def body(carry, xs):
+            gs, confusion = carry
+            batch_reals, k = xs
+            d_losses = []
+            for i in range(d_iterations):
+                gs, confusion, d_loss = d_body(
+                    gs, batch_reals[i], confusion,
+                    jax.random.fold_in(k, i))
+                d_losses.append(d_loss)
+            g_losses = []
+            for j in range(g_iterations):
+                gs, g_loss = g_body(gs, jax.random.fold_in(k, 1000 + j))
+                g_losses.append(g_loss)
+            return (gs, confusion), (jnp.stack(d_losses),
+                                     jnp.stack(g_losses))
+
+        (gs, confusion), (d_losses, g_losses) = jax.lax.scan(
+            body, (gs, confusion), (reals, keys))
+        return gs, confusion, (d_losses.reshape(-1), g_losses.reshape(-1))
+
+    return jax.jit(epoch, donate_argnums=(0, 1) if donate else ())
 
 
 def train_epoch(d_step, g_step, gs: GanState, train_data, key, *,

@@ -24,6 +24,103 @@ def test_upsample_conv_exact(key, h, w, ci, co):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("h,w,ci,co,act", [(4, 4, 3, 5, "relu"),
+                                           (8, 8, 8, 16, "relu"),
+                                           (8, 6, 7, 4, "none"),
+                                           (16, 16, 8, 8, "sigmoid")])
+def test_upsample_conv_bn_act_kernel_parity(key, h, w, ci, co, act):
+    """Pallas fused upsample2+conv3x3+BN(eval)+act vs the module composition
+    (UpsampleNearest -> Conv -> BatchNorm(eval) -> act), interpret mode on
+    CPU — the G hot block (models.lua:121-130)."""
+    from ganreverser_tpu.models import modules as nn
+    from ganreverser_tpu.ops.conv_kernel import fold_batchnorm
+    from ganreverser_tpu.ops.upsample_conv_kernel import (
+        upsample2_conv3x3_bn_act)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (2, h, w, ci))
+    kernel = jax.random.normal(ks[1], (3, 3, ci, co)) * 0.2
+    bias = jax.random.normal(ks[2], (co,)) * 0.1
+    bn_params = {"scale": jax.random.uniform(ks[3], (co,), minval=0.5,
+                                             maxval=1.5),
+                 "bias": jax.random.normal(ks[4], (co,)) * 0.1}
+    bn_state = {"mean": jax.random.normal(ks[5], (co,)) * 0.1,
+                "var": jnp.ones((co,)) * 0.8}
+
+    up = nn.UpsampleNearest(2)
+    conv = nn.Conv(co, 3)
+    bn = nn.BatchNorm(co)
+    y, _ = up.apply({}, x)
+    y, _ = conv.apply({"params": {"kernel": kernel, "bias": bias}}, y)
+    ref, _ = bn.apply({"params": bn_params, "state": bn_state}, y,
+                      train=False)
+    if act == "relu":
+        ref = jax.nn.relu(ref)
+    elif act == "sigmoid":
+        ref = jax.nn.sigmoid(ref)
+
+    scale, shift = fold_batchnorm(bn_params, bn_state, bias)
+    out = upsample2_conv3x3_bn_act(x, kernel, scale, shift, act=act,
+                                   tile_n=2)
+    assert out.shape == (2, 2 * h, 2 * w, co)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_upsample_conv_kernel_plain_conv(key):
+    """scale=1 / shift=bias degenerates to plain upsample+conv — cross-check
+    against the existing lax fused op."""
+    from ganreverser_tpu.ops.upsample_conv_kernel import (
+        upsample2_conv3x3_bn_act)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 8, 8, 4))
+    kernel = jax.random.normal(k2, (3, 3, 4, 6))
+    bias = jax.random.normal(k3, (6,))
+    ref = upsample2_conv3x3_reference(x, kernel, bias)
+    out = upsample2_conv3x3_bn_act(x, kernel, jnp.ones((6,)), bias,
+                                   act="none", tile_n=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fast_generator_matches_G(key):
+    """models/fastpath.make_fast_generator == create_G3.apply(train=False)
+    on the standard checkpoint pytree (bf16 path, interpret-mode kernels)."""
+    from ganreverser_tpu.models.fastpath import make_fast_generator
+    dims, nd = (3, 16, 16), 8
+    G = M.create_G(dims, nd, dtype=jnp.bfloat16)
+    variables, _ = G.init(key, (nd,))
+    # non-trivial BN stats so the folding is actually exercised
+    for l in ("l1", "l6", "l10"):
+        variables["state"][l]["mean"] = 0.1 * jnp.arange(
+            variables["state"][l]["mean"].shape[0], dtype=jnp.float32) % 1.0
+        variables["state"][l]["var"] = 0.5 + 0.5 * jnp.ones_like(
+            variables["state"][l]["var"])
+    z = jax.random.normal(jax.random.fold_in(key, 1), (4, nd))
+    ref, _ = G.apply(variables, z, train=False)
+    fast = make_fast_generator(dims, nd, dtype=jnp.bfloat16)
+    out = fast(variables, z)
+    assert out.shape == ref.shape
+    # bf16 compute on both sides; reassociated accumulation order
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.02)
+
+
+def test_fast_generator_matches_G_f32(key):
+    """Same in f32 — tight tolerance isolates real math errors from bf16
+    rounding."""
+    from ganreverser_tpu.models.fastpath import make_fast_generator
+    dims, nd = (1, 8, 8), 6
+    G = M.create_G(dims, nd)
+    variables, _ = G.init(key, (nd,))
+    z = jax.random.normal(jax.random.fold_in(key, 1), (2, nd))
+    ref, _ = G.apply(variables, z, train=False)
+    out = make_fast_generator(dims, nd, dtype=jnp.float32,
+                              tile_n=1)(variables, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_G_matches_unfused(key):
     """create_G(fuse=True) and fuse=False share the same param pytree and
     produce the same outputs."""

@@ -123,6 +123,15 @@ def test_adversarial_steps_compile_sharded(key):
         G, D, batch_size=16, noise_dim=8, noise_method="normal", mesh=None)
     assert "all-reduce" not in _hlo(g_repl, gs, seed_key(5))
 
+    # the production path — the single-scan epoch program — is sharded too
+    epoch = T.make_epoch_program(
+        G, D, batch_size=16, noise_dim=8, noise_method="normal",
+        n_batches=2, mesh=mesh, donate=False)
+    data = par.shard_batch(
+        jax.random.uniform(jax.random.fold_in(key, 6), (16, 8, 8, 1)), mesh)
+    assert "all-reduce" in _hlo(epoch, gs, T.Confusion.zero(), data,
+                                seed_key(8))
+
 
 def test_g_step_preserves_tp_output_sharding(key):
     """Under dp+tp the updated params coming OUT of the jitted g_step keep

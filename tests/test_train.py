@@ -96,6 +96,40 @@ def test_adversarial_steps():
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+def test_epoch_program_single_scan():
+    """make_epoch_program: the whole epoch as one jitted lax.scan — same
+    step counts / confusion totals / loss shapes as the per-batch loop, with
+    d_iterations/g_iterations > 1 and a dataset SMALLER than the epoch needs
+    (sequential wraparound like the exampleForDIdx cursor,
+    adversarial.lua:129-137)."""
+    key = seed_key(5)
+    G = M.create_G(DIMS, ND)
+    D = M.create_D(DIMS)
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (ND,))
+    d_vars, _ = D.init(jax.random.fold_in(key, 2), (8, 8, 1))
+    gs = T.GanState(g=T.TrainState.create(g_vars, O.adam()),
+                    d=T.TrainState.create(d_vars, O.adam()))
+    n_batches, d_iters, g_iters = 3, 2, 2
+    epoch = T.make_epoch_program(
+        G, D, batch_size=BATCH, noise_dim=ND, noise_method="normal",
+        n_batches=n_batches, d_iterations=d_iters, g_iterations=g_iters,
+        donate=False)
+    # needs 3*2*(BATCH/2) reals; supply fewer -> modulo wrap must cover it
+    data = jax.random.uniform(jax.random.fold_in(key, 3), (10, 8, 8, 1))
+    gs2, confusion, (d_losses, g_losses) = epoch(
+        gs, T.Confusion.zero(), data, jax.random.fold_in(key, 4))
+    assert d_losses.shape == (n_batches * d_iters,)
+    assert g_losses.shape == (n_batches * g_iters,)
+    assert np.isfinite(np.asarray(d_losses)).all()
+    assert np.isfinite(np.asarray(g_losses)).all()
+    assert int(gs2.d.step) == n_batches * d_iters
+    assert int(gs2.g.step) == n_batches * g_iters
+    assert int(jnp.sum(confusion.counts)) == n_batches * d_iters * BATCH
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), gs.g.params, gs2.g.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
 def test_labels():
     """Y_GENERATOR=0 / Y_NOT_GENERATOR=1 (train.lua:67-68)."""
     assert T.Y_GENERATOR == 0.0
