@@ -160,6 +160,31 @@ def main(argv=None):
 
     t_inv = _time_best(invert, r_vars, images)
     inv_ips = n_images / t_inv
+    r_path = "XLA"
+
+    if jax.default_backend() == "tpu":
+        # fused Pallas R path (conv_block_kernel chains) on the same
+        # checkpoint pytree — models/fastpath.py; headline takes the
+        # better of the two parity-tested implementations
+        from ganreverser_tpu.models.fastpath import make_fast_inverter
+        fastinv = make_fast_inverter(dims, nd, "normal",
+                                     dtype=jnp.bfloat16, tile_n=4)
+
+        @jax.jit
+        def invert_fast(rv, imgs):
+            return forward_batched(lambda b: fastinv(rv, b), imgs, batch)
+
+        try:
+            _force(invert_fast(r_vars, images))
+            t_fast = _time_best(invert_fast, r_vars, images)
+            fast_ips = n_images / t_fast
+            print(f"[bench] R-invert (Pallas fused): {fast_ips:,.0f} img/s "
+                  f"vs XLA {inv_ips:,.0f}", file=sys.stderr)
+            if fast_ips > inv_ips:
+                inv_ips, r_path = fast_ips, "Pallas-fused"
+        except Exception as e:  # noqa: BLE001 — report, keep XLA headline
+            print(f"[bench] Pallas R path failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
 
     emb = invert(r_vars, images)
     _force(emb)
@@ -186,7 +211,7 @@ def main(argv=None):
 
     print(json.dumps({
         "metric": (f"R-inversion images/sec/chip @64x64 (bf16, batch "
-                   f"{batch}, backend {backend})"),
+                   f"{batch}, {r_path}, backend {backend})"),
         "value": round(inv_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(inv_ips / PER_CHIP_TARGET, 3),

@@ -1,4 +1,4 @@
-"""Fast eval-mode G forward: the whole decoder through fused Pallas blocks.
+"""Fast eval-mode G / R forwards: whole networks through fused Pallas blocks.
 
 Consumes the STANDARD create_G3 checkpoint pytree (zoo.py layer indices
 l0 Dense, l1 BN, l5/l9 convs, l6/l10 BNs, l12 final conv) — no separate
@@ -10,9 +10,17 @@ weights, no pytree changes:
     -> conv3x3 + Sigmoid                           [XLA; Co=C wastes MXU
                                                     lanes in a kernel]
 
-Eval-mode only (BN running statistics folded on the host at trace time).
-Parity vs G.apply(train=False): tests/test_ops.py::test_fast_generator.
-Reference hot path: models.lua:104-143 (create_G3).
+And the R inversion hot path (the BASELINE.json headline,
+models.lua:389-464) with each 3-conv block + maxpool fused into ONE kernel
+whose activations never leave VMEM (ops/conv_block_kernel.py):
+
+  images -> [conv64+BN+ELU x3 + pool]   (one kernel)
+         -> [conv128+BN+ELU x3 + pool]  (one kernel)
+         -> Dense(+BN folded)+ELU -> Dense (+Tanh for uniform)  [XLA]
+
+Eval-mode only (BN running statistics folded on the host at trace time;
+the Dropout layers are identity in eval). Parity vs apply(train=False):
+tests/test_ops.py::test_fast_generator*, test_fast_inverter*.
 """
 from __future__ import annotations
 
@@ -23,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.conv_block_kernel import conv_block
 from ..ops.conv_kernel import fold_batchnorm
 from ..ops.upsample_conv_kernel import upsample2_conv3x3_bn_act
 
@@ -71,3 +80,62 @@ def make_fast_generator(dims: Dims, noise_dim: int,
         return jax.nn.sigmoid(y + p["l12"]["bias"]).astype(dtype)
 
     return generate
+
+
+def make_fast_inverter(dims: Dims, noise_dim: int, noise_method: str,
+                       dtype: Any = jnp.bfloat16, *, tile_n: int = 2,
+                       interpret=None):
+    """Returns jitted ``invert(r_variables, images) -> z_hat`` equivalent to
+    ``create_R(...).apply(variables, images, train=False)`` for the plain
+    (non-fixer) R — the fixer's always-on input dropout needs an rng and
+    stays on the module path.
+
+    ``r_variables``: standard create_R_default pytree (zoo.py layer indices
+    l0/l4/l8 + l13/l17/l21 convs, l1/... BNs, l27/l31 Denses).
+    """
+    assert noise_method in ("normal", "uniform"), noise_method
+
+    def fold(p, s, conv, bn):
+        return fold_batchnorm(p[bn], s[bn], p[conv]["bias"])
+
+    @jax.jit
+    def invert(variables, images):
+        p, s = variables["params"], variables["state"]
+        x = images.astype(dtype)
+
+        # block 1: 3x [conv64 + BN + ELU] + maxpool2 (models.lua:409-423)
+        sc0, sh0 = fold(p, s, "l0", "l1")
+        sc1, sh1 = fold(p, s, "l4", "l5")
+        sc2, sh2 = fold(p, s, "l8", "l9")
+        x = conv_block(
+            x, (p["l0"]["kernel"].astype(dtype),
+                p["l4"]["kernel"].astype(dtype),
+                p["l8"]["kernel"].astype(dtype)),
+            (sc0, sc1, sc2), (sh0, sh1, sh2), act="elu", pool=True,
+            tile_n=tile_n, interpret=interpret, out_dtype=dtype)
+
+        # block 2: 3x [conv128 + BN + ELU] + maxpool2 (models.lua:426-440)
+        sc3, sh3 = fold(p, s, "l13", "l14")
+        sc4, sh4 = fold(p, s, "l17", "l18")
+        sc5, sh5 = fold(p, s, "l21", "l22")
+        x = conv_block(
+            x, (p["l13"]["kernel"].astype(dtype),
+                p["l17"]["kernel"].astype(dtype),
+                p["l21"]["kernel"].astype(dtype)),
+            (sc3, sc4, sc5), (sh3, sh4, sh5), act="elu", pool=True,
+            tile_n=tile_n, interpret=interpret, out_dtype=dtype)
+
+        # head: Dense(+BN folded)+ELU -> Dense (models.lua:446-451)
+        x = x.reshape(x.shape[0], -1)
+        scd, shd = fold(p, s, "l27", "l28")
+        kd = p["l27"]["kernel"].astype(jnp.float32) * scd[None, :]
+        y = jnp.dot(x, kd.astype(dtype),
+                    preferred_element_type=jnp.float32) + shd
+        y = jax.nn.elu(y).astype(dtype)
+        z = jnp.dot(y, p["l31"]["kernel"].astype(dtype),
+                    preferred_element_type=jnp.float32) + p["l31"]["bias"]
+        if noise_method != "normal":
+            z = jnp.tanh(z)  # models.lua:452-454
+        return z.astype(dtype)
+
+    return invert

@@ -121,6 +121,79 @@ def test_fast_generator_matches_G_f32(key):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("pool", [False, True])
+def test_conv_block_kernel_parity(key, pool):
+    """Pallas fused conv-chain (3x conv3x3+BN(eval)+ELU [+maxpool]) vs the
+    module composition — R's backbone block (models.lua:409-440)."""
+    from ganreverser_tpu.models import modules as nn
+    from ganreverser_tpu.ops.conv_block_kernel import conv_block
+    from ganreverser_tpu.ops.conv_kernel import fold_batchnorm
+    chans = [5, 8, 8, 8]
+    ks = jax.random.split(key, 16)
+    x = jax.random.normal(ks[0], (2, 8, 8, chans[0]))
+    kernels, scales, shifts, ref = [], [], [], x
+    for li in range(3):
+        ci, co = chans[li], chans[li + 1]
+        kern = jax.random.normal(ks[1 + 3 * li], (3, 3, ci, co)) * 0.2
+        bias = jax.random.normal(ks[2 + 3 * li], (co,)) * 0.1
+        bn_p = {"scale": jax.random.uniform(ks[3 + 3 * li], (co,),
+                                            minval=0.5, maxval=1.5),
+                "bias": jnp.zeros((co,))}
+        bn_s = {"mean": jax.random.normal(ks[12 + li], (co,)) * 0.1,
+                "var": jnp.ones((co,)) * 0.9}
+        y, _ = nn.Conv(co, 3).apply(
+            {"params": {"kernel": kern, "bias": bias}}, ref)
+        y, _ = nn.BatchNorm(co).apply({"params": bn_p, "state": bn_s}, y,
+                                      train=False)
+        ref = jax.nn.elu(y)
+        sc, sh = fold_batchnorm(bn_p, bn_s, bias)
+        kernels.append(kern)
+        scales.append(sc)
+        shifts.append(sh)
+    if pool:
+        ref, _ = nn.MaxPool(2).apply({}, ref)
+    out = conv_block(x, tuple(kernels), tuple(scales), tuple(shifts),
+                     act="elu", pool=pool, tile_n=2)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fast_inverter_matches_R_f32(key):
+    """models/fastpath.make_fast_inverter == create_R.apply(train=False) on
+    the standard checkpoint pytree, f32 tight tolerance."""
+    from ganreverser_tpu.models.fastpath import make_fast_inverter
+    dims, nd = (3, 8, 8), 6
+    R = M.create_R(dims, nd, "normal")
+    variables, _ = R.init(key, (8, 8, 3))
+    for l in ("l1", "l5", "l9", "l14", "l18", "l22", "l28"):
+        variables["state"][l]["mean"] = 0.05 * jnp.ones_like(
+            variables["state"][l]["mean"])
+        variables["state"][l]["var"] = 0.8 * jnp.ones_like(
+            variables["state"][l]["var"])
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (2, 8, 8, 3))
+    ref, _ = R.apply(variables, x, train=False)
+    out = make_fast_inverter(dims, nd, "normal", dtype=jnp.float32,
+                             tile_n=1)(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fast_inverter_uniform_tanh(key):
+    """Uniform-noise R appends Tanh (models.lua:452-454) — fast path too."""
+    from ganreverser_tpu.models.fastpath import make_fast_inverter
+    dims, nd = (1, 8, 8), 4
+    R = M.create_R(dims, nd, "uniform")
+    variables, _ = R.init(key, (8, 8, 1))
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (2, 8, 8, 1))
+    ref, _ = R.apply(variables, x, train=False)
+    out = make_fast_inverter(dims, nd, "uniform", dtype=jnp.float32,
+                             tile_n=1)(variables, x)
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_G_matches_unfused(key):
     """create_G(fuse=True) and fuse=False share the same param pytree and
     produce the same outputs."""
