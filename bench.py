@@ -151,6 +151,7 @@ def main(argv=None):
                 t_fast = _time_best(generate_fast, g_vars, z)
                 print(f"[bench] G-generate (Pallas fused): "
                       f"{n_images / t_fast:,.0f} img/s", file=sys.stderr)
+                t_gen = min(t_gen, t_fast)
             except Exception as e:  # noqa: BLE001 — report, keep headline
                 print(f"[bench] Pallas G path failed: {type(e).__name__}: "
                       f"{str(e)[:200]}", file=sys.stderr)
@@ -181,7 +182,7 @@ def main(argv=None):
             print(f"[bench] R-invert (Pallas fused): {fast_ips:,.0f} img/s "
                   f"vs XLA {inv_ips:,.0f}", file=sys.stderr)
             if fast_ips > inv_ips:
-                inv_ips, r_path = fast_ips, "Pallas-fused"
+                inv_ips, r_path, t_inv = fast_ips, "Pallas-fused", t_fast
         except Exception as e:  # noqa: BLE001 — report, keep XLA headline
             print(f"[bench] Pallas R path failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
@@ -208,6 +209,13 @@ def main(argv=None):
     print(f"[bench] R-invert: {inv_ips:,.0f} img/s | "
           f"cosine top-k: {topk_qps:,.0f} qps "
           f"({n_needles} needles x {n_images} embeddings)", file=sys.stderr)
+
+    if full:
+        # true end-to-end rate: generate -> invert -> top-k answers for all
+        # N (the VERDICT r1 note that G bounds the real pipeline)
+        t_e2e = t_gen + t_inv + t_topk * (n_images / n_needles)
+        print(f"[bench] end-to-end generate+invert+top-k: "
+              f"{n_images / t_e2e:,.0f} img/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": (f"R-inversion images/sec/chip @64x64 (bf16, batch "

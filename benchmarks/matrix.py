@@ -115,6 +115,18 @@ def config2():
     _emit(2, "R train step 3x64x64 z=100 b32", batch / t, "img/s",
           step_ms=round(t * 1e3, 2))
 
+    # the production path: whole epoch as ONE scan program (30 batches)
+    n_batches = 30
+    epoch = T.make_epoch_program(G, D, batch_size=batch, noise_dim=nd,
+                                 noise_method="normal", n_batches=n_batches,
+                                 donate=False)
+    data = jax.random.uniform(jax.random.fold_in(key, 8),
+                              (n_batches * batch // 2, 64, 64, 3))
+    t = _time_best(epoch, gs, T.Confusion.zero(), data,
+                   jax.random.fold_in(key, 9))
+    _emit(2, f"epoch program ({n_batches} D+G batches, one dispatch)",
+          n_batches * batch / t, "img/s", epoch_ms=round(t * 1e3, 2))
+
 
 def config3():
     """10k batch inversion -> cosine top-k + kmeans-20 (apply_r pipeline)."""
@@ -136,7 +148,20 @@ def config3():
                                x, 256)
 
     t = _time_best(invert, rv, images)
-    _emit(3, "10k batch inversion 64x64 bf16", n / t, "img/s")
+    _emit(3, "10k batch inversion 64x64 bf16 (XLA)", n / t, "img/s")
+
+    if jax.default_backend() == "tpu":
+        from ganreverser_tpu.models.fastpath import make_fast_inverter
+        fastinv = make_fast_inverter(dims, nd, "normal",
+                                     dtype=jnp.bfloat16, tile_n=4)
+
+        @jax.jit
+        def invert_fast(rv, x):
+            return forward_batched(lambda b: fastinv(rv, b), x, 256)
+
+        t = _time_best(invert_fast, rv, images)
+        _emit(3, "10k batch inversion 64x64 bf16 (Pallas fused blocks)",
+              n / t, "img/s")
 
     emb = invert(rv, images)
     _force(emb)
@@ -148,8 +173,17 @@ def config3():
 
     f = jax.jit(lambda k, e: kmeans(k, e, 20, 15), static_argnums=())
     t = _time_best(f, jax.random.fold_in(key, 5), emb.astype(jnp.float32))
-    _emit(3, "kmeans-20 x15 iters over 10k", 1.0 / t, "runs/s",
+    _emit(3, "kmeans-20 x15 iters over 10k (lax)", 1.0 / t, "runs/s",
           run_ms=round(t * 1e3, 2))
+
+    if jax.default_backend() == "tpu":
+        # Pallas-vs-lax kmeans timing (VERDICT r1 item 7)
+        from ganreverser_tpu.ops import kmeans_pallas
+        fp = jax.jit(lambda k, e: kmeans_pallas(k, e, 20, 15))
+        t = _time_best(fp, jax.random.fold_in(key, 5),
+                       emb.astype(jnp.float32))
+        _emit(3, "kmeans-20 x15 iters over 10k (Pallas)", 1.0 / t, "runs/s",
+              run_ms=round(t * 1e3, 2))
 
 
 def config4():
@@ -167,7 +201,17 @@ def config4():
     z = jax.random.normal(jax.random.fold_in(key, 3), (n, nd))
 
     t = _time_best(lambda z: fix_images(G, gv, z, batch_size=256), z)
-    _emit(4, "G∘R fixing (G fwd from recovered z) 10k", n / t, "img/s")
+    _emit(4, "G∘R fixing (G fwd from recovered z) 10k (XLA)", n / t,
+          "img/s")
+
+    if jax.default_backend() == "tpu":
+        from ganreverser_tpu.analysis import forward_batched as _fb
+        from ganreverser_tpu.models.fastpath import make_fast_generator
+        fastgen = make_fast_generator(dims, nd, dtype=jnp.bfloat16,
+                                      tile_n=4)
+        gen = jax.jit(lambda gv, z: _fb(lambda b: fastgen(gv, b), z, 256))
+        t = _time_best(gen, gv, z)
+        _emit(4, "G fwd 10k (Pallas fused upsample blocks)", n / t, "img/s")
 
     images = fix_images(G, gv, z, batch_size=256)
     _force(images)

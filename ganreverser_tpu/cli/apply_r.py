@@ -116,6 +116,32 @@ def main(argv=None):
             attributes_fixer = rf_fwd(rf_vars, images)
         else:
             attributes_fixer = attributes
+    elif cfg.pallas:
+        # fused Pallas G/R forwards (models/fastpath.py) on the standard
+        # checkpoint pytrees; the fixer keeps the module path (its always-on
+        # dropout needs an rng)
+        from ..core.prng import noise_inputs
+        from ..models.fastpath import make_fast_generator, make_fast_inverter
+        batch = max(cfg.batchSize, 256)
+        fastgen = make_fast_generator(dims, noise_dim, dtype=dtype, tile_n=1)
+        fastinv = make_fast_inverter(dims, noise_dim, noise_method,
+                                     dtype=dtype, tile_n=1)
+        noise = noise_inputs(jax.random.fold_in(key, 2), cfg.N, noise_dim,
+                             noise_method)
+        images = jax.jit(lambda v, z: A.forward_batched(
+            lambda b: fastgen(v, b), z, batch))(g_vars, noise)
+        attributes = jax.jit(lambda v, x: A.forward_batched(
+            lambda b: fastinv(v, b), x, batch))(r_vars, images)
+        if R_fixer is not None:
+            @jax.jit
+            def rf_fwd(v, x):
+                return A.forward_batched(
+                    lambda b: R_fixer.apply(
+                        v, b, train=False,
+                        rng=jax.random.fold_in(key, 5))[0], x, batch)
+            attributes_fixer = rf_fwd(rf_vars, images)
+        else:
+            attributes_fixer = attributes
     else:
         out = A.generate_and_invert(
             G, R, g_vars, r_vars, n=cfg.N, noise_dim=noise_dim,

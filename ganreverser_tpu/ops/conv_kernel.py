@@ -12,11 +12,13 @@ batch statistics, which stay on the lax path). Parity tests vs the module
 composition: tests/test_pallas.py. Like the other Pallas ops this is an
 opt-in alternative — XLA's cuDNN-class conv emitter remains the default.
 
-STATUS: experimental on real TPU — with jax 0.9.0's Mosaic, the fp32
-accumulator for useful tile sizes exceeds the 16MB scoped-vmem limit
-(tile_n=8 at 64x64x64 needs 34.5MB) and smaller spatial-odd tiles compile
-pathologically slowly; the kernel is verified in interpret mode and kept as
-the fusion blueprint. Keep tile_n * H * W * Co * 4B well under VMEM.
+STATUS: the round-1 default (tile_n=8 at 64x64x64: 8.4MB f32 accumulator
+plus patch intermediates) overflowed the 16MB scoped-vmem limit; the
+default is now tile_n=2 (2.1MB accumulator + ~1.1MB padded bf16 input),
+which fits every G/D/R stage shape. Single-layer use is largely superseded
+by ops/conv_block_kernel.py (fuses whole conv chains + pool) and
+ops/upsample_conv_kernel.py (G's upsample blocks); this kernel remains for
+one-off conv+BN+act(+pool) shapes and as the PReLU-epilogue variant.
 """
 from __future__ import annotations
 
@@ -85,7 +87,7 @@ def fold_batchnorm(bn_params: dict, bn_state: dict, conv_bias: jax.Array,
 def conv3x3_bn_act(x: jax.Array, kernel: jax.Array, scale: jax.Array,
                    shift: jax.Array, *, act: str = "relu",
                    prelu_alpha: float = 0.25, pool: bool = False,
-                   tile_n: int = 8, interpret=None,
+                   tile_n: int = 2, interpret=None,
                    out_dtype=None) -> jax.Array:
     """x: (N, H, W, Ci); kernel: (3, 3, Ci, Co); scale/shift: (Co,).
     N must be a multiple of tile_n. ``act='prelu'`` uses the shared scalar
