@@ -176,6 +176,11 @@ def main(argv=None):
 
     def save(completed_epoch):
         nonlocal last_saved
+        if jax.process_index() != 0:
+            # multi-process: every rank holds identical replicated params;
+            # only rank 0 writes (same-path rename race otherwise)
+            last_saved = completed_epoch
+            return
         tree = common.gan_to_tree(gs, {"vis_noise_inputs": vis_noise})
         # checkpoint schema of train.lua:256: epoch + plot_data (loss
         # history) + normalize_mean/std all travel with the weights
@@ -240,7 +245,9 @@ def main(argv=None):
             else:
                 train_data = par.shard_batch(train_data, mesh)
 
-        if not cfg.noplot:
+        if not cfg.noplot and jax.process_count() == 1:
+            # multi-process: rendering needs host fetches of global arrays;
+            # artifacts come from rank-0 checkpoints via the sample CLI
             visualize_progress(writer, vis_gen, vis_rate, gs, vis_noise,
                                cfg, epoch, train_data)
 

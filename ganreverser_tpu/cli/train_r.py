@@ -118,10 +118,12 @@ def main(argv=None):
 
     def save():
         nonlocal last_saved
+        last_saved = int(ts.step)
+        if jax.process_index() != 0:
+            return  # rank-0-only writes (see cli/train.py)
         gio.save_checkpoint(ckpt_path, {"R": common.ts_to_tree(ts)},
                             config=cfg.to_dict(),
                             extra={"batch": int(ts.step)})
-        last_saved = int(ts.step)
         print(f"<trainer> saving network to {ckpt_path}")
 
     losses = []
@@ -142,19 +144,21 @@ def main(argv=None):
                            np.max(losses[-100:]))
             print(f"<trainer> batch {batch_idx} loss "
                   f"low/avg/high: {lo:.4f}/{avg:.4f}/{hi:.4f}")
-            # side-by-side noise-vs-recovered printout of the first 10
-            # components (train_r.lua:178-183)
-            z_ex = noise_inputs(jax.random.fold_in(key, 6), 2, cfg.noiseDim,
-                                cfg.noiseMethod)
-            z_hat = recover(g_variables, ts.variables, z_ex,
-                            jax.random.fold_in(key, 5))
-            print("Example:")
-            print(f"Noise for G: {_fmt10(z_ex[0])}")
-            print(f"Result by R: {_fmt10(z_hat[0])}")
+            if jax.process_count() == 1:
+                # side-by-side noise-vs-recovered printout of the first 10
+                # components (train_r.lua:178-183)
+                z_ex = noise_inputs(jax.random.fold_in(key, 6), 2,
+                                    cfg.noiseDim, cfg.noiseMethod)
+                z_hat = recover(g_variables, ts.variables, z_ex,
+                                jax.random.fold_in(key, 5))
+                print("Example:")
+                print(f"Noise for G: {_fmt10(z_ex[0])}")
+                print(f"Result by R: {_fmt10(z_hat[0])}")
             writer.scalar("r_loss_low", lo, step=batch_idx)
             writer.scalar("r_loss_avg", avg, step=batch_idx)
             writer.scalar("r_loss_high", hi, step=batch_idx)
-        if batch_idx % 25 == 0 and not cfg.noplot:
+        if (batch_idx % 25 == 0 and not cfg.noplot
+                and jax.process_count() == 1):
             # G->R->G round-trip preview grid (train_r.lua:207-218)
             z = noise_inputs(jax.random.fold_in(key, 7), 16, cfg.noiseDim,
                              cfg.noiseMethod)

@@ -19,14 +19,24 @@ import numpy as np
 
 
 class MetricsWriter:
+    """JSONL scalars + image-grid artifacts. In multi-process runs only
+    process 0 writes (every rank computes identical replicated values;
+    concurrent same-file appends would interleave)."""
+
     def __init__(self, save_dir: str, name: str = "events"):
+        import jax
+        self.active = jax.process_index() == 0
         self.save_dir = save_dir
-        os.makedirs(save_dir, exist_ok=True)
         self.path = os.path.join(save_dir, f"{name}.jsonl")
-        self._f = open(self.path, "a")
+        self._f = None
+        if self.active:
+            os.makedirs(save_dir, exist_ok=True)
+            self._f = open(self.path, "a")
         self._t0 = time.time()
 
     def scalar(self, tag: str, value, step: Optional[int] = None, **extra):
+        if not self.active:
+            return
         rec = {"tag": tag, "value": float(value),
                "wall": round(time.time() - self._t0, 3)}
         if step is not None:
@@ -37,7 +47,9 @@ class MetricsWriter:
 
     def image_grid(self, tag: str, images, grid_h: int, grid_w: int,
                    epoch: Optional[int] = None,
-                   subdir: str = "images") -> str:
+                   subdir: str = "images") -> Optional[str]:
+        if not self.active:
+            return None
         from ..utils.grids import save_images_as_grid
         out_dir = os.path.join(self.save_dir, subdir)
         fname = f"{tag}_{epoch:06d}.png" if epoch is not None else f"{tag}.png"
@@ -46,7 +58,8 @@ class MetricsWriter:
         return path
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
 
 class StepTimer:

@@ -18,6 +18,36 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_two_process_train_cli(tmp_path):
+    """The real train CLI across 2 processes: --coordinator_address flags,
+    host-local loading (process_slice), global batch assembly, multi-process
+    mesh placement — one epoch on synthetic 8x8 data, both ranks exit 0 and
+    rank 0 writes the checkpoint."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["GANREVERSER_PLATFORM"] = "cpu"
+    save = str(tmp_path / "logs")
+    args = ["--dataset", "synthetic", "--save", save, "--epochs", "1",
+            "--N_epoch", "2", "--batchSize", "8", "--noiseDim", "8",
+            "--saveFreq", "1", "--nopretraining", "--noplot",
+            "--colorSpace", "y", "--height", "8", "--width", "8",
+            "--mesh_data", "2",
+            "--coordinator_address", f"localhost:{port}",
+            "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "ganreverser_tpu.cli.train"]
+        + args + ["--process_id", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+    assert "joined distributed runtime: process" in outs[0]
+    assert os.path.isfile(os.path.join(save, "adversarial", "manifest.json"))
+
+
 def test_two_process_dp_step():
     port = _free_port()
     env = dict(os.environ)
