@@ -33,6 +33,29 @@ def test_distributed_invert_matches_single(key):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_refiner_dp_tp_mesh(key):
+    """Gradient latent refinement (BASELINE config 5's mode) over a dp+tp
+    mesh: batch sharded over 'data', G's big kernels sharded over 'model'
+    (SURVEY.md §7 step 6 names TP for the big Linears at large geometry) —
+    matches the single-device result."""
+    G = M.create_G((1, 8, 8), 8)
+    gv, _ = G.init(jax.random.fold_in(key, 1), (8,))
+    targets = jax.random.uniform(jax.random.fold_in(key, 2), (16, 8, 8, 1))
+    z0 = jnp.zeros((16, 8))
+    refine = A.make_refiner(G, steps=5, lr=0.05)
+    z_ref, loss_ref = refine(gv, targets, z0)
+
+    mesh = par.make_mesh(data=4, model=2)
+    gvs = {"params": par.shard_params(gv["params"], mesh, min_size=1 << 10),
+           "state": par.replicate(gv["state"], mesh)}
+    z_s, loss_s = refine(gvs, par.shard_batch(targets, mesh),
+                         par.shard_batch(z0, mesh))
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(loss_s), np.asarray(loss_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_distributed_topk_exact(key):
     emb = jax.random.normal(key, (512, 32))
     needles = jnp.array([0, 100, 511])
