@@ -1,0 +1,187 @@
+"""Compiled (interpret=False) kernel parity + timing on real TPU.
+
+The CI suite runs every Pallas kernel in interpret mode on CPU
+(tests/conftest.py pins the CPU backend); this script is the TPU-side
+complement: it compiles each kernel with Mosaic at production shapes,
+asserts parity against the lax/module composition, and times both sides.
+
+Run (one process at a time on this 1-core host!):
+    python benchmarks/tpu_kernel_check.py            # all kernels
+    python benchmarks/tpu_kernel_check.py upsample   # one kernel
+
+Prints one JSON line per (kernel, shape): pallas_ms, xla_ms, max_err.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _force(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+
+def _time_best(fn, *args, repeats=5):
+    _force(fn(*args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    _force(out)
+    return best
+
+
+def _emit(kernel, shape, pallas_s, xla_s, max_err, **extra):
+    rec = {"kernel": kernel, "shape": shape,
+           "pallas_ms": round(pallas_s * 1e3, 3),
+           "xla_ms": round(xla_s * 1e3, 3),
+           "speedup": round(xla_s / pallas_s, 3),
+           "max_err": float(max_err)}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def check_upsample(tile_n=4, n=256, h=32, w=32, ci=512, co=256):
+    """G's hot stage 1 (512->256 @32->64) by default."""
+    from ganreverser_tpu.ops.upsample_conv_kernel import (
+        upsample2_conv3x3_bn_act)
+    from ganreverser_tpu.ops.upsample_conv import upsample2_conv3x3_reference
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (n, h, w, ci), jnp.bfloat16)
+    kern = (jax.random.normal(ks[1], (3, 3, ci, co), jnp.float32) * 0.05)
+    scale = jax.random.uniform(ks[2], (co,), minval=0.5, maxval=1.5)
+    shift = jax.random.normal(ks[3], (co,)) * 0.1
+
+    pallas = jax.jit(lambda x: upsample2_conv3x3_bn_act(
+        x, kern.astype(jnp.bfloat16), scale, shift, act="relu",
+        tile_n=tile_n, interpret=False))
+
+    @jax.jit
+    def ref(x):
+        y = upsample2_conv3x3_reference(x, kern.astype(jnp.bfloat16),
+                                        jnp.zeros((co,)), jnp.bfloat16)
+        return jnp.maximum(y.astype(jnp.float32) * scale + shift,
+                           0.0).astype(jnp.bfloat16)
+
+    a = np.asarray(jax.device_get(pallas(x)), np.float32)
+    b = np.asarray(jax.device_get(ref(x)), np.float32)
+    err = np.max(np.abs(a - b))
+    tp = _time_best(pallas, x)
+    tx = _time_best(ref, x)
+    _emit("upsample2_conv3x3_bn_relu", f"{n}x{h}x{w}x{ci}->{co}", tp, tx,
+          err, tile_n=tile_n)
+
+
+def check_conv_block(tile_n=2, n=128, h=64, w=64, chans=(3, 64, 64, 64),
+                     pool=True):
+    """R's stage-1 backbone block by default."""
+    from ganreverser_tpu.models import modules as M
+    from ganreverser_tpu.ops.conv_block_kernel import conv_block
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(jax.random.fold_in(key, 0),
+                           (n, h, w, chans[0]), jnp.bfloat16)
+    kernels, scales, shifts = [], [], []
+    for li in range(len(chans) - 1):
+        ci, co = chans[li], chans[li + 1]
+        kernels.append(jax.random.normal(
+            jax.random.fold_in(key, 10 + li), (3, 3, ci, co),
+            jnp.float32) * (0.5 / np.sqrt(9 * ci)))
+        scales.append(jax.random.uniform(jax.random.fold_in(key, 20 + li),
+                                         (co,), minval=0.8, maxval=1.2))
+        shifts.append(jax.random.normal(jax.random.fold_in(key, 30 + li),
+                                        (co,)) * 0.05)
+
+    pallas = jax.jit(lambda x: conv_block(
+        x, tuple(k.astype(jnp.bfloat16) for k in kernels), tuple(scales),
+        tuple(shifts), act="elu", pool=pool, tile_n=tile_n,
+        interpret=False))
+
+    @jax.jit
+    def ref(x):
+        y = x
+        for k, sc, sh in zip(kernels, scales, shifts):
+            import jax.lax as lax
+            y = lax.conv_general_dilated(
+                y, k.astype(jnp.bfloat16), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            y = jax.nn.elu(y * sc + sh).astype(jnp.bfloat16)
+        if pool:
+            import jax.lax as lax
+            y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 2, 2, 1),
+                                  (1, 2, 2, 1), "VALID")
+        return y
+
+    a = np.asarray(jax.device_get(pallas(x)), np.float32)
+    b = np.asarray(jax.device_get(ref(x)), np.float32)
+    err = np.max(np.abs(a - b))
+    tp = _time_best(pallas, x)
+    tx = _time_best(ref, x)
+    _emit("conv_block_bn_elu" + ("_pool" if pool else ""),
+          f"{n}x{h}x{w} chans={list(chans)}", tp, tx, err, tile_n=tile_n)
+
+
+def check_conv3x3(tile_n=2, n=128, h=64, w=64, ci=64, co=64):
+    from ganreverser_tpu.ops.conv_kernel import conv3x3_bn_act
+    import jax.lax as lax
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(jax.random.fold_in(key, 0), (n, h, w, ci),
+                           jnp.bfloat16)
+    kern = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, ci, co),
+                             jnp.float32) * 0.04
+    scale = jnp.ones((co,))
+    shift = jnp.zeros((co,))
+
+    pallas = jax.jit(lambda x: conv3x3_bn_act(
+        x, kern.astype(jnp.bfloat16), scale, shift, act="relu",
+        tile_n=tile_n, interpret=False))
+
+    @jax.jit
+    def ref(x):
+        y = lax.conv_general_dilated(
+            x, kern.astype(jnp.bfloat16), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+
+    a = np.asarray(jax.device_get(pallas(x)), np.float32)
+    b = np.asarray(jax.device_get(ref(x)), np.float32)
+    err = np.max(np.abs(a - b))
+    tp = _time_best(pallas, x)
+    tx = _time_best(ref, x)
+    _emit("conv3x3_bn_relu", f"{n}x{h}x{w}x{ci}->{co}", tp, tx, err,
+          tile_n=tile_n)
+
+
+CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
+          "conv3x3": check_conv3x3}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    picks = argv or list(CHECKS)
+    print(f"[kernel_check] backend={jax.default_backend()}",
+          file=sys.stderr)
+    for name in picks:
+        try:
+            CHECKS[name]()
+        except Exception as e:  # noqa: BLE001 — record, keep going
+            print(json.dumps({"kernel": name, "error":
+                              f"{type(e).__name__}: {str(e)[:300]}"}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
