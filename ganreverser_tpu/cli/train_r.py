@@ -81,11 +81,6 @@ def main(argv=None):
                          opt_state=shard(ts.opt_state, mesh),
                          step=repl(ts.step, mesh) if multi else ts.step)
 
-    step = T.make_r_train_step(
-        G, R, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,
-        noise_method=cfg.noiseMethod, r_l1=cfg.R_L1, r_l2=cfg.R_L2,
-        r_clamp=cfg.R_clamp, mesh=mesh)
-
     writer = MetricsWriter(cfg.save, name="events_r")
     timer = StepTimer(writer, log_every=100, tag="r_batch_time")
     guard = gio.PreemptionGuard()  # SIGTERM -> checkpoint + clean exit
@@ -126,6 +121,27 @@ def main(argv=None):
                             extra={"batch": int(ts.step)})
         print(f"<trainer> saving network to {ckpt_path}")
 
+    # batches run in SEGMENTS: one jitted lax.scan dispatch (and ONE loss
+    # fetch) per run up to the next print/preview/save boundary, instead of
+    # a dispatch + scalar fetch per batch (train/r_loop.py)
+    segments = {}
+
+    def run_segment(n):
+        if n not in segments:
+            segments[n] = T.make_r_segment_program(
+                G, R, batch_size=cfg.batchSize, noise_dim=cfg.noiseDim,
+                noise_method=cfg.noiseMethod, n_batches=n, r_l1=cfg.R_L1,
+                r_l2=cfg.R_L2, r_clamp=cfg.R_clamp, mesh=mesh)
+        return segments[n]
+
+    cadences = [100, cfg.saveFreq] + ([] if cfg.noplot else [25])
+
+    def next_boundary(i):
+        cands = [((i + c - 1) // c) * c for c in cadences if c > 0]
+        if cfg.nbBatches >= 0:
+            cands.append(cfg.nbBatches)
+        return max(min(c for c in cands if c >= i), i)
+
     losses = []
     batch_idx = 1
     while True:
@@ -134,10 +150,14 @@ def main(argv=None):
             if last_saved != int(ts.step):
                 save()
             break
+        end = next_boundary(batch_idx)
+        n_seg = end - batch_idx + 1
         key, sub = jax.random.split(key)
-        ts, loss = step(g_variables, ts, sub)
-        losses.append(float(loss))
-        timer.tick(batch_idx)
+        ts, seg_losses = run_segment(n_seg)(g_variables, ts, sub)
+        losses.extend(np.asarray(seg_losses, np.float32).tolist())
+        for i in range(batch_idx, end + 1):
+            timer.tick(i)
+        batch_idx = end
 
         if batch_idx % 100 == 0:
             lo, avg, hi = (np.min(losses[-100:]), np.mean(losses[-100:]),

@@ -67,7 +67,39 @@ def make_r_train_step(G: Module, R: Module, *, batch_size: int,
         return new_ts, loss
 
     donate_argnums = (1,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    jitted = jax.jit(step, donate_argnums=donate_argnums)
+    jitted.raw = step
+    return jitted
+
+
+def make_r_segment_program(G: Module, R: Module, *, batch_size: int,
+                           noise_dim: int, noise_method: str,
+                           n_batches: int, donate: bool = True,
+                           mesh=None, **penalties) -> Callable:
+    """``n_batches`` R train steps as ONE jitted ``lax.scan`` program.
+
+    The reference's loop (train_r.lua:131-225) is per-batch host-driven;
+    train_r's CLI previously dispatched one program per batch AND fetched
+    the loss scalar each time — two ~28 ms round trips per batch on the
+    tunnel. This compiles a whole segment (e.g. the 100-batch print cadence)
+    into one dispatch returning the per-batch loss vector, so the low/avg/
+    high records (train_r.lua:192-205) are computed from one fetch.
+
+    Returns jitted ``segment(g_variables, ts, key) -> (ts, losses[n])``.
+    """
+    step = make_r_train_step(G, R, batch_size=batch_size,
+                             noise_dim=noise_dim, noise_method=noise_method,
+                             mesh=mesh, **penalties).raw
+
+    def segment(g_variables, ts: TrainState, key):
+        def body(ts, k):
+            ts, loss = step(g_variables, ts, k)
+            return ts, loss
+
+        keys = jax.random.split(key, n_batches)
+        return jax.lax.scan(body, ts, keys)
+
+    return jax.jit(segment, donate_argnums=(1,) if donate else ())
 
 
 def calibrate_batchnorm(model: Module, variables: dict, inputs_fn,

@@ -96,6 +96,29 @@ def test_adversarial_steps():
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+def test_r_segment_program():
+    """make_r_segment_program: n R train steps as one scan — step count
+    advances by n, per-batch losses returned, loss decreases vs start."""
+    key = seed_key(7)
+    G = M.create_G(DIMS, ND)
+    R = M.create_R(DIMS, ND, "normal")
+    g_vars, _ = G.init(jax.random.fold_in(key, 1), (ND,))
+    r_vars, _ = R.init(jax.random.fold_in(key, 2), (8, 8, 1))
+    ts = T.TrainState.create(r_vars, O.adam())
+    seg = T.make_r_segment_program(G, R, batch_size=BATCH, noise_dim=ND,
+                                   noise_method="normal", n_batches=12,
+                                   donate=False)
+    ts2, losses = seg(g_vars, ts, jax.random.fold_in(key, 3))
+    assert losses.shape == (12,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert int(ts2.step) == 12
+    # chaining segments keeps advancing state (learning itself is covered
+    # by test_r_training_reduces_loss)
+    ts3, losses2 = seg(g_vars, ts2, jax.random.fold_in(key, 4))
+    assert int(ts3.step) == 24
+    assert np.isfinite(np.asarray(losses2)).all()
+
+
 def test_epoch_program_single_scan():
     """make_epoch_program: the whole epoch as one jitted lax.scan — same
     step counts / confusion totals / loss shapes as the per-batch loop, with
