@@ -24,12 +24,10 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 import traceback
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 PER_CHIP_TARGET = 50000.0 / 8.0  # north-star v5e-8 target, per chip
 
@@ -73,21 +71,13 @@ def _resolve_backend() -> str:
 
 
 def _force(x):
-    """Synchronize via a real host fetch of one on-device-indexed scalar."""
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+    from ganreverser_tpu.utils.timing import force
+    force(x)
 
 
 def _time_best(fn, *args, repeats=5):
-    _force(fn(*args))  # warmup: compile + first run, fetch-synchronized
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    _force(out)  # drain the queue before the next section
-    return best
+    from ganreverser_tpu.utils.timing import time_best
+    return time_best(fn, *args, repeats=repeats)
 
 
 def main(argv=None):

@@ -19,30 +19,18 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _force(x):
-    import jax
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+    from ganreverser_tpu.utils.timing import force
+    force(x)
 
 
 def _time_best(fn, *args, repeats=3):
-    import jax
-    _force(fn(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    _force(out)
-    return best
+    from ganreverser_tpu.utils.timing import time_best
+    return time_best(fn, *args, repeats=repeats)
 
 
 def _emit(config, metric, value, unit, **extra):

@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,21 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _force(x):
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
-
-
-def _time_best(fn, *args, repeats=5):
-    _force(fn(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    _force(out)
-    return best
+from ganreverser_tpu.utils.timing import force as _force  # noqa: E402
+from ganreverser_tpu.utils.timing import time_best as _time_best  # noqa: E402
 
 
 def _emit(kernel, shape, pallas_s, xla_s, max_err, **extra):

@@ -120,6 +120,10 @@ def main(argv=None):
         # fused Pallas G/R forwards (models/fastpath.py) on the standard
         # checkpoint pytrees; the fixer keeps the module path (its always-on
         # dropout needs an rng)
+        if jax.default_backend() != "tpu":
+            print(f"[apply_r] WARNING: --pallas off-TPU runs the kernels in "
+                  f"the interpreter — expect minutes for N={cfg.N}",
+                  file=sys.stderr)
         from ..core.prng import noise_inputs
         from ..models.fastpath import make_fast_generator, make_fast_inverter
         batch = max(cfg.batchSize, 256)

@@ -93,8 +93,11 @@ def make_dataset(cfg) -> Dataset:
     if cfg.dataset == "NONE":
         sys.exit("--dataset is required (a directory of *.jpg images, or "
                  "'synthetic' for the built-in procedural faces)")
+    # multi-process: distinct per-rank RNG streams, otherwise every rank's
+    # host-local "slice" of the global batch is the SAME images
+    seed = cfg.seed + 7919 * jax.process_index()
     return Dataset([cfg.dataset], height=cfg.height, width=cfg.width,
-                   colorspace=cfg.colorSpace, seed=cfg.seed)
+                   colorspace=cfg.colorSpace, seed=seed)
 
 
 def build_gan_models(cfg, dtype):

@@ -176,12 +176,16 @@ def main(argv=None):
 
     def save(completed_epoch):
         nonlocal last_saved
-        if jax.process_index() != 0:
-            # multi-process: every rank holds identical replicated params;
-            # only rank 0 writes (same-path rename race otherwise)
-            last_saved = completed_epoch
-            return
+        last_saved = completed_epoch
         tree = common.gan_to_tree(gs, {"vis_noise_inputs": vis_noise})
+        if jax.process_count() > 1:
+            # collective: TP-sharded params span non-addressable devices;
+            # ALL ranks must enter the gather, then only rank 0 writes
+            # (same-path rename race otherwise)
+            from .. import parallel as par
+            tree = par.gather_replicated(tree, mesh)
+            if jax.process_index() != 0:
+                return
         # checkpoint schema of train.lua:256: epoch + plot_data (loss
         # history) + normalize_mean/std all travel with the weights
         extra = {"epoch": completed_epoch, "plot_data": plot_data,
@@ -206,13 +210,16 @@ def main(argv=None):
     from ..data import prefetch_to_device
     n_load = (cfg.N_epoch * cfg.batchSize // 2) * cfg.D_iterations
     if jax.process_count() > 1:
-        # host-local loading: each process decodes only its slice of the
-        # global batch; global arrays are assembled per epoch below
+        # host-local loading: each process decodes only its share of the
+        # global batch (per-rank RNG streams, see common.make_dataset);
+        # arrays stay on host — the global sharded array is assembled per
+        # epoch below, a local device_put would just round-trip HBM
         from .. import parallel as par
         n_local = par.process_slice(n_load)
         data_iter = prefetch_to_device(
             lambda i: dataset.load_random_images(n_local.stop
-                                                 - n_local.start), -1)
+                                                 - n_local.start), -1,
+            host_only=True)
     else:
         data_iter = prefetch_to_device(
             lambda i: dataset.load_random_images(n_load), -1)
@@ -232,9 +239,10 @@ def main(argv=None):
             # the reference's dummy 0.5/0.5 (nn_utils.lua:377-378). Kept
             # quirk: G's sigmoid output stays in [0,1], so normalized real
             # data is distinguishable by range alone — reference default is
-            # off for the same reason.
+            # off for the same reason. np.array (not asarray): a view of a
+            # jax array is read-only and normalize_images writes in place.
             from ..data import normalize_images
-            host = np.asarray(train_data, np.float32)
+            host = np.array(train_data, np.float32)
             normalize_stats = normalize_images(host)
             train_data = jnp.asarray(host)
         if mesh is not None:

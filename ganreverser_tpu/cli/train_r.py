@@ -88,23 +88,16 @@ def main(argv=None):
                            cfg.fixer)
 
     @jax.jit
-    def preview(gv, rv, z, rng):
+    def roundtrip(gv, rv, z, rng):
+        """G(z) -> R -> G: one compiled program serving both the preview
+        grids (imgs, fixed) and the noise-vs-recovered printout (z_hat)."""
         imgs, _ = G.apply(gv, z, train=False)
         if cfg.fixer:
             z_hat, _ = R.apply(rv, imgs, train=False, rng=rng)
         else:
             z_hat, _ = R.apply(rv, imgs, train=False)
         fixed, _ = G.apply(gv, z_hat, train=False)
-        return imgs, fixed
-
-    @jax.jit
-    def recover(gv, rv, z, rng):
-        imgs, _ = G.apply(gv, z, train=False)
-        if cfg.fixer:
-            z_hat, _ = R.apply(rv, imgs, train=False, rng=rng)
-        else:
-            z_hat, _ = R.apply(rv, imgs, train=False)
-        return z_hat
+        return imgs, z_hat, fixed
 
     def _fmt10(v) -> str:
         return " ".join(f"{float(x):.2f}" for x in np.asarray(v)[:10])
@@ -114,10 +107,15 @@ def main(argv=None):
     def save():
         nonlocal last_saved
         last_saved = int(ts.step)
-        if jax.process_index() != 0:
-            return  # rank-0-only writes (see cli/train.py)
-        gio.save_checkpoint(ckpt_path, {"R": common.ts_to_tree(ts)},
-                            config=cfg.to_dict(),
+        tree = {"R": common.ts_to_tree(ts)}
+        if jax.process_count() > 1:
+            # collective gather of TP-sharded params, then rank-0-only
+            # write (see cli/train.py::save)
+            from .. import parallel as par
+            tree = par.gather_replicated(tree, mesh)
+            if jax.process_index() != 0:
+                return
+        gio.save_checkpoint(ckpt_path, tree, config=cfg.to_dict(),
                             extra={"batch": int(ts.step)})
         print(f"<trainer> saving network to {ckpt_path}")
 
@@ -140,7 +138,7 @@ def main(argv=None):
         cands = [((i + c - 1) // c) * c for c in cadences if c > 0]
         if cfg.nbBatches >= 0:
             cands.append(cfg.nbBatches)
-        return max(min(c for c in cands if c >= i), i)
+        return min(c for c in cands if c >= i)
 
     losses = []
     batch_idx = 1
@@ -169,8 +167,8 @@ def main(argv=None):
                 # components (train_r.lua:178-183)
                 z_ex = noise_inputs(jax.random.fold_in(key, 6), 2,
                                     cfg.noiseDim, cfg.noiseMethod)
-                z_hat = recover(g_variables, ts.variables, z_ex,
-                                jax.random.fold_in(key, 5))
+                _, z_hat, _ = roundtrip(g_variables, ts.variables, z_ex,
+                                        jax.random.fold_in(key, 5))
                 print("Example:")
                 print(f"Noise for G: {_fmt10(z_ex[0])}")
                 print(f"Result by R: {_fmt10(z_hat[0])}")
@@ -182,7 +180,7 @@ def main(argv=None):
             # G->R->G round-trip preview grid (train_r.lua:207-218)
             z = noise_inputs(jax.random.fold_in(key, 7), 16, cfg.noiseDim,
                              cfg.noiseMethod)
-            imgs, fixed = preview(g_variables, ts.variables, z,
+            imgs, _, fixed = roundtrip(g_variables, ts.variables, z,
                                   jax.random.fold_in(key, 8))
             both = np.concatenate([common.to_nhwc_rgb(imgs, cfg.colorSpace),
                                    common.to_nhwc_rgb(fixed, cfg.colorSpace)])

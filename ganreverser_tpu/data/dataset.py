@@ -109,6 +109,11 @@ class Dataset:
 def normalize_images(images: np.ndarray):
     """NN_UTILS.normalize (nn_utils.lua:324-379): map [0,1] -> [-1,1], clamp
     in place; returns the reference's dummy (0.5, 0.5)."""
+    if not images.flags.writeable:
+        # e.g. np.asarray over a jax array: the native path would silently
+        # write through into device-owned memory; fail loudly instead
+        raise ValueError("normalize_images mutates in place — pass a "
+                         "writable array (np.array(...), not a view)")
     from ..native import normalize_pm1_inplace
     if not normalize_pm1_inplace(images):
         images *= 2.0

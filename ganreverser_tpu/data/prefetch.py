@@ -25,12 +25,16 @@ class _WorkerError:
 
 
 def prefetch_to_device(batch_fn: Callable[[int], object], n_batches: int,
-                       *, sharding=None, depth: int = 2) -> Iterator:
+                       *, sharding=None, depth: int = 2,
+                       host_only: bool = False) -> Iterator:
     """Yield ``n_batches`` device arrays, producing ``batch_fn(i)`` on a
     background thread ``depth`` steps ahead. ``n_batches < 0`` = infinite.
 
     ``sharding``: optional jax.sharding.Sharding for device placement
     (e.g. batch sharded over the 'data' mesh axis).
+    ``host_only``: skip device placement and yield the host arrays — for
+    multi-process pipelines where the consumer assembles a global array
+    itself (device_put-then-fetch would round-trip HBM for nothing).
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
@@ -44,8 +48,7 @@ def prefetch_to_device(batch_fn: Callable[[int], object], n_batches: int,
         try:
             while not stop.is_set() and (n_batches < 0 or i < n_batches):
                 host = batch_fn(i)
-                dev = jax.device_put(host, sharding)
-                q.put(dev)
+                q.put(host if host_only else jax.device_put(host, sharding))
                 i += 1
         except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
             q.put(_WorkerError(e))

@@ -90,6 +90,28 @@ def shard_params_global(tree, mesh: Mesh, min_size: int = 1 << 16):
     return jax.tree_util.tree_map(place, tree)
 
 
+def gather_replicated(tree, mesh: Mesh):
+    """Make every array leaf fully-replicated (host-fetchable) across the
+    mesh — required before checkpointing TP-sharded params in a
+    multi-process run, where jax.device_get on a 'model'-sharded array
+    would span non-addressable devices.
+
+    This inserts all-gathers (a COLLECTIVE): every process must call it,
+    even though only rank 0 writes the checkpoint afterwards.
+    """
+    leaves, tdef = jax.tree_util.tree_flatten(tree)
+    rep = NamedSharding(mesh, P())
+    arr_idx = [i for i, l in enumerate(leaves)
+               if isinstance(l, jax.Array) and not l.is_fully_addressable]
+    if not arr_idx:
+        return tree
+    gather = jax.jit(lambda xs: xs, out_shardings=[rep] * len(arr_idx))
+    gathered = gather([leaves[i] for i in arr_idx])
+    for i, g in zip(arr_idx, gathered):
+        leaves[i] = g
+    return tdef.unflatten(leaves)
+
+
 def first_local_value(x) -> float:
     """Scalar fetch that works on multi-process global arrays (a plain
     ``float(x)`` requires the array to be fully addressable)."""

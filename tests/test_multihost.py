@@ -48,6 +48,40 @@ def test_two_process_train_cli(tmp_path):
     assert os.path.isfile(os.path.join(save, "adversarial", "manifest.json"))
 
 
+def test_two_process_tp_train_and_save(tmp_path):
+    """Tensor parallelism ACROSS processes (--mesh_model 2 on a 2-process
+    mesh): params span non-addressable devices, so checkpoint saving must
+    gather-replicate collectively before rank 0 writes (regression: a
+    direct device_get raised 'spans non-addressable devices')."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["GANREVERSER_PLATFORM"] = "cpu"
+    save = str(tmp_path / "logs")
+    args = ["--dataset", "synthetic", "--save", save, "--epochs", "1",
+            "--N_epoch", "1", "--batchSize", "8", "--noiseDim", "8",
+            "--saveFreq", "1", "--nopretraining", "--noplot",
+            "--colorSpace", "y", "--height", "8", "--width", "8",
+            "--mesh_data", "1", "--mesh_model", "2",
+            "--coordinator_address", f"localhost:{port}",
+            "--num_processes", "2"]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "ganreverser_tpu.cli.train"]
+        + args + ["--process_id", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+    assert os.path.isfile(os.path.join(save, "adversarial", "manifest.json"))
+    # the written checkpoint holds FULL (gathered) parameter tensors
+    import numpy as np
+    with np.load(os.path.join(save, "adversarial", "arrays.npz")) as z:
+        big = z["G/params/l0/kernel"]
+    assert big.shape == (8, 512 * 2 * 2)
+
+
 def test_two_process_dp_step():
     port = _free_port()
     env = dict(os.environ)
