@@ -124,13 +124,33 @@ def main(argv=None):
         print(f"[bench] G-generate (XLA): {n_images / t_gen:,.0f} img/s",
               file=sys.stderr)
 
+        # pure-XLA fast decoder: BN folded + lhs-dilated upsample conv
+        # (models/fastpath.py::make_fast_generator_xla) — no Mosaic, so it
+        # runs even when the tunnel's Pallas compile helper is down
+        from ganreverser_tpu.models.fastpath import make_fast_generator_xla
+        fastgen_xla = make_fast_generator_xla(dims, nd, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def generate_fast_xla(gv, z):
+            return forward_batched(lambda b: fastgen_xla(gv, b), z, batch)
+
+        try:
+            _force(generate_fast_xla(g_vars, z))
+            t_fx = _time_best(generate_fast_xla, g_vars, z)
+            print(f"[bench] G-generate (XLA fast, dilated+folded): "
+                  f"{n_images / t_fx:,.0f} img/s", file=sys.stderr)
+            t_gen = min(t_gen, t_fx)
+        except Exception as e:  # noqa: BLE001 — report, keep headline
+            print(f"[bench] XLA-fast G path failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+
         # fused Pallas decoder (upsample+conv+BN+ReLU blocks) on the same
         # checkpoint pytree — models/fastpath.py. TPU only: off-TPU the
         # kernels run in the (glacial) interpreter, which measures nothing.
         if backend == "tpu":
             from ganreverser_tpu.models.fastpath import make_fast_generator
             fastgen = make_fast_generator(dims, nd, dtype=jnp.bfloat16,
-                                          tile_n=4)
+                                          tile_n=2)  # fastest measured tile
 
             @jax.jit
             def generate_fast(gv, z):

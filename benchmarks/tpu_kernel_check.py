@@ -25,7 +25,7 @@ import numpy as np
 
 
 from ganreverser_tpu.utils.timing import force as _force  # noqa: E402
-from ganreverser_tpu.utils.timing import time_best as _time_best  # noqa: E402
+from ganreverser_tpu.utils.timing import time_amortized as _time_best  # noqa: E402
 
 
 def _emit(kernel, shape, pallas_s, xla_s, max_err, **extra):
@@ -36,6 +36,21 @@ def _emit(kernel, shape, pallas_s, xla_s, max_err, **extra):
            "max_err": float(max_err)}
     rec.update(extra)
     print(json.dumps(rec), flush=True)
+
+
+def check_upsample_stages(n=256):
+    """Both G stages at the 64x64 flagship geometry, a tile_n sweep each:
+    stage 1 is 512->256 @16->32, stage 2 is 256->128 @32->64."""
+    for (h, ci, co) in ((16, 512, 256), (32, 256, 128)):
+        for tile_n in (2, 4, 8):
+            try:
+                check_upsample(tile_n=tile_n, n=n, h=h, w=h, ci=ci, co=co)
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                print(json.dumps(
+                    {"kernel": "upsample2_conv3x3_bn_relu",
+                     "shape": f"{n}x{h}x{h}x{ci}->{co}", "tile_n": tile_n,
+                     "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                    flush=True)
 
 
 def check_upsample(tile_n=4, n=256, h=32, w=32, ci=512, co=256):
@@ -151,8 +166,58 @@ def check_conv3x3(tile_n=2, n=128, h=64, w=64, ci=64, co=64):
           tile_n=tile_n)
 
 
+def check_upsample_xla(n=256, h=32, w=32, ci=512, co=256):
+    """Pure-XLA upsample+conv formulations (no Mosaic — runs even when the
+    tunnel's remote compile helper rejects Pallas payloads). Times G's hot
+    stage 1 three ways: naive repeat+conv, explicit phase shuffle, and the
+    lhs-dilated single conv."""
+    from ganreverser_tpu.ops.upsample_conv import (
+        upsample2_conv3x3, upsample2_conv3x3_dilated,
+        upsample2_conv3x3_reference)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(jax.random.fold_in(key, 0), (n, h, w, ci),
+                          jnp.bfloat16)
+    kern = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, ci, co),
+                             jnp.float32) * 0.02
+    bias = jnp.zeros((co,))
+
+    naive = jax.jit(lambda x: upsample2_conv3x3_reference(
+        x, kern, bias, jnp.bfloat16))
+    shuffle = jax.jit(lambda x: upsample2_conv3x3(x, kern, bias,
+                                                  jnp.bfloat16))
+    dilated = jax.jit(lambda x: upsample2_conv3x3_dilated(
+        x, kern, bias, jnp.bfloat16))
+
+    base = np.asarray(jax.device_get(naive(x)), np.float32)
+    tn = _time_best(naive, x)
+    for name, fn in (("phase_shuffle", shuffle), ("lhs_dilated", dilated)):
+        out = np.asarray(jax.device_get(fn(x)), np.float32)
+        err = np.max(np.abs(out - base))
+        tv = _time_best(fn, x)
+        _emit(f"upsample_xla_{name}", f"{n}x{h}x{w}x{ci}->{co}", tv, tn, err)
+
+
+def check_conv_block_stages(n=256):
+    """R's two backbone blocks at 64x64 with a tile_n sweep (the inversion
+    hot path: 3->64->64->64 @64x64 pool, then 64->128->128->128 @32x32
+    pool)."""
+    for (h, chans) in ((64, (3, 64, 64, 64)), (32, (64, 128, 128, 128))):
+        for tile_n in (2, 4, 8):
+            try:
+                check_conv_block(tile_n=tile_n, n=n, h=h, w=h, chans=chans)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps(
+                    {"kernel": "conv_block_bn_elu_pool",
+                     "shape": f"{n}x{h}x{h} chans={list(chans)}",
+                     "tile_n": tile_n,
+                     "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                    flush=True)
+
+
 CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
-          "conv3x3": check_conv3x3}
+          "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
+          "upsample_stages": check_upsample_stages,
+          "conv_block_stages": check_conv_block_stages}
 
 
 def main(argv=None):
@@ -164,6 +229,8 @@ def main(argv=None):
         try:
             CHECKS[name]()
         except Exception as e:  # noqa: BLE001 — record, keep going
+            import traceback
+            traceback.print_exc()  # full error to stderr (vmem numbers etc.)
             print(json.dumps({"kernel": name, "error":
                               f"{type(e).__name__}: {str(e)[:300]}"}),
                   flush=True)

@@ -117,19 +117,21 @@ def main(argv=None):
         else:
             attributes_fixer = attributes
     elif cfg.pallas:
-        # fused Pallas G/R forwards (models/fastpath.py) on the standard
-        # checkpoint pytrees; the fixer keeps the module path (its always-on
-        # dropout needs an rng)
+        # measured-fastest fused paths (models/fastpath.py) on the standard
+        # checkpoint pytrees: G via the pure-XLA folded-BN + lhs-dilated
+        # decoder (2.34x the module path on v5e; it also beat the Pallas
+        # phase kernel 53.7k vs 37.9k img/s — RESULTS.md round 2). R keeps
+        # the module path — XLA's conv pipeline measured 3x faster than the
+        # fused conv-block kernel there (71.4k vs 24.1k img/s). The fixer
+        # also keeps the module path (its always-on dropout needs an rng)
         if jax.default_backend() != "tpu":
-            print(f"[apply_r] WARNING: --pallas off-TPU runs the kernels in "
-                  f"the interpreter — expect minutes for N={cfg.N}",
-                  file=sys.stderr)
+            print("[apply_r] note: --pallas off-TPU interprets the "
+                  "kmeans/top-k kernels (slow for large N)", file=sys.stderr)
         from ..core.prng import noise_inputs
-        from ..models.fastpath import make_fast_generator, make_fast_inverter
+        from ..models.fastpath import make_fast_generator_xla
         batch = max(cfg.batchSize, 256)
-        fastgen = make_fast_generator(dims, noise_dim, dtype=dtype, tile_n=1)
-        fastinv = make_fast_inverter(dims, noise_dim, noise_method,
-                                     dtype=dtype, tile_n=1)
+        fastgen = make_fast_generator_xla(dims, noise_dim, dtype=dtype)
+        fastinv = jax.jit(lambda v, b: R.apply(v, b, train=False)[0])
         noise = noise_inputs(jax.random.fold_in(key, 2), cfg.N, noise_dim,
                              noise_method)
         images = jax.jit(lambda v, z: A.forward_batched(

@@ -41,6 +41,7 @@ Dims = tuple  # (C, H, W)
 def make_fast_generator(dims: Dims, noise_dim: int,
                         dtype: Any = jnp.bfloat16, *, tile_n: int = 2,
                         interpret=None):
+    # tile_n=2 measured fastest on v5e (benchmarks/RESULTS.md round-2 sweep)
     """Returns jitted ``generate(g_variables, z) -> images`` equivalent to
     ``create_G3(...).apply(variables, z, train=False)``.
 
@@ -72,7 +73,51 @@ def make_fast_generator(dims: Dims, noise_dim: int,
             x, p["l9"]["kernel"].astype(dtype), scale2, shift2, act="relu",
             tile_n=tile_n, interpret=interpret, out_dtype=dtype)
 
-        # final 3x3 conv + sigmoid (models.lua:132-133)
+        # final 3x3 conv + sigmoid (models.lua:132-133) stays on XLA: the
+        # kernel's fused final_head variant was measured SLOWER end-to-end
+        # (29.1k vs 37.9k img/s — the Co=3 conv wastes MXU lanes in-kernel
+        # while XLA's small-channel conv emitter handles it well)
+        y = lax.conv_general_dilated(
+            x, p["l12"]["kernel"].astype(dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jax.nn.sigmoid(y + p["l12"]["bias"]).astype(dtype)
+
+    return generate
+
+
+def make_fast_generator_xla(dims: Dims, noise_dim: int,
+                            dtype: Any = jnp.bfloat16):
+    """Pure-XLA fast G: BN folded at trace time + the lhs-dilated
+    upsample+conv formulation (ops/upsample_conv.py::upsample2_conv3x3_dilated,
+    2.25x fewer effective taps than the naive repeat+conv, no Mosaic).
+
+    Same contract as make_fast_generator: consumes the standard create_G3
+    pytree, equivalent to ``apply(variables, z, train=False)``.
+    """
+    from ..ops.upsample_conv import upsample2_conv3x3_dilated
+    c, h, w = dims
+    sh, sw = h // 4, w // 4
+
+    @jax.jit
+    def generate(variables, z):
+        p, s = variables["params"], variables["state"]
+
+        scale0, shift0 = fold_batchnorm(p["l1"], s["l1"], p["l0"]["bias"])
+        k0 = p["l0"]["kernel"].astype(jnp.float32) * scale0[None, :]
+        y = jnp.dot(z.astype(dtype), k0.astype(dtype),
+                    preferred_element_type=jnp.float32) + shift0
+        y = jnp.maximum(y, 0.0).astype(dtype)
+        x = y.reshape(z.shape[0], sh, sw, 512)
+
+        for conv, bn in (("l5", "l6"), ("l9", "l10")):
+            scale, shift = fold_batchnorm(p[bn], s[bn], p[conv]["bias"])
+            k = (p[conv]["kernel"].astype(jnp.float32)
+                 * scale[None, None, None, :]).astype(dtype)
+            x = upsample2_conv3x3_dilated(x, k, shift.astype(jnp.float32),
+                                          dtype)
+            x = jnp.maximum(x, 0.0).astype(dtype)
+
         y = lax.conv_general_dilated(
             x, p["l12"]["kernel"].astype(dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

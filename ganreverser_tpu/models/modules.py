@@ -137,6 +137,7 @@ class UpsampleConv(Module):
     features: int
     init_scheme: str = "heuristic"
     dtype: Any = jnp.float32
+    variant: str = "dilated"  # 'dilated' (one lhs-dilated conv) | 'shuffle'
 
     def out_shape(self, in_shape: Shape) -> Shape:
         h, w, _ = in_shape
@@ -148,9 +149,12 @@ class UpsampleConv(Module):
         return {"params": params, "state": {}}, self.out_shape(in_shape)
 
     def apply(self, variables, x, *, train=False, rng=None):
-        from ..ops.upsample_conv import upsample2_conv3x3
+        from ..ops.upsample_conv import (upsample2_conv3x3,
+                                         upsample2_conv3x3_dilated)
         p = variables["params"]
-        return upsample2_conv3x3(x, p["kernel"], p["bias"], self.dtype), {}
+        fn = (upsample2_conv3x3_dilated if self.variant == "dilated"
+              else upsample2_conv3x3)
+        return fn(x, p["kernel"], p["bias"], self.dtype), {}
 
 
 @dataclass(frozen=True)

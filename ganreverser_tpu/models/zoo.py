@@ -38,25 +38,26 @@ def _act(name: str):
 
 
 def create_G(dimensions: Dims, noise_dim: int, dtype: Any = jnp.float32,
-             fuse: bool = False, init: str = "heuristic") -> Module:
+             fuse: bool = True, init: str = "heuristic") -> Module:
     """models.create_G == create_G3 (models.lua:201-203)."""
     return create_G3(dimensions, noise_dim, dtype, fuse, init)
 
 
 def create_G3(dimensions: Dims, noise_dim: int, dtype: Any = jnp.float32,
-              fuse: bool = False, init: str = "heuristic") -> Module:
+              fuse: bool = True, init: str = "heuristic") -> Module:
     """create_G3 (models.lua:104-143): z -> Linear -> BN -> ReLU -> reshape
     H/4 x W/4 x 512 -> 2x [NN-upsample x2 + 3x3 conv + BN + ReLU] -> 3x3 conv
     -> Sigmoid. Output in [0, 1].
 
-    ``fuse=True`` replaces each UpsampleNearest+Conv pair with the fused
-    UpsampleConv op (2.25x fewer MACs, same parameters & numerics up to
-    reassociation; ops/upsample_conv.py). Layer indices — and therefore
-    checkpoint pytree keys — are identical in both modes. Default OFF: on
-    TPU v5e the measured throughput of XLA's native upsample+conv pipeline
-    (22.5k img/s @64x64 b1024) beats the fused rewrite (11.5k img/s) — the
-    odd-size (H+1,W+1) intermediate and the pixel-shuffle transpose cost
-    more than the saved MACs.
+    ``fuse=True`` (the default) replaces each UpsampleNearest+Conv pair
+    with the fused UpsampleConv op — since round 2 the lhs-dilated single
+    conv (ops/upsample_conv.py::upsample2_conv3x3_dilated), exact-parity
+    with the composition and measured 1.37x faster per stage / 2.34x for
+    the whole eval G on v5e (benchmarks/RESULTS.md round 2; the round-1
+    pixel-shuffle variant that measured slower is retained as
+    variant="shuffle"). Layer indices — and therefore checkpoint pytree
+    keys — are identical in both modes; ``fuse=False`` restores the
+    literal UpsampleNearest+Conv composition.
 
     ``init="torch"`` faithful mode: the convs are cudnn.SpatialConvolution
     upstream, so w_init never re-inits them (typename mismatch) — they keep

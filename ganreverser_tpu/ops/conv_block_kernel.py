@@ -129,4 +129,8 @@ def conv_block(x: jax.Array, kernels: Sequence[jax.Array],
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, co_last), out_dtype),
         interpret=interpret,
+        # measured 38.9MB scoped usage at tile_n=4 (R stage 1 @64x64) vs
+        # the conservative 16MB default; v5e VMEM is 128MB physical
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*operands)

@@ -128,4 +128,8 @@ def conv3x3_bn_act(x: jax.Array, kernel: jax.Array, scale: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, co), out_dtype),
         interpret=interpret,
+        # raise the conservative 16MB scoped-vmem default (v5e: 128MB
+        # physical) — see the sibling kernels' measured overflows
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, w9, scale2, shift2, alpha2)

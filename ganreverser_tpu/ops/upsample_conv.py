@@ -33,6 +33,41 @@ def upsample2_conv3x3_reference(x, kernel, bias, dtype=jnp.float32):
     return (y + bias).astype(dtype)
 
 
+def upsample2_conv3x3_dilated(x, kernel, bias, dtype=jnp.float32):
+    """Same op as one lhs-dilated conv — no explicit pixel shuffle.
+
+    conv3x3(SAME) over nearest-up2(x) is, per output parity, a 2-tap conv
+    per spatial dim (see module docstring). Zero-insertion (lhs_dilation=2)
+    makes BOTH parities expressible with ONE 4-tap kernel, because the
+    inserted zeros mask whichever taps the parity doesn't use:
+
+      w4 = [w0, w0+w1, w1+w2, w2]        (per spatial dim)
+
+      even output 2r   (pad 2): hits dilated slots 2r-2, 2r  -> w4[0], w4[2]
+      odd  output 2r+1 (pad 2): hits slots 2r, 2r+2          -> w4[1], w4[3]
+
+    which reproduces exactly the parity-aggregated taps. XLA:TPU lowers
+    lhs-dilated convs natively (it is the transposed-conv/grad pattern), so
+    the interleave never round-trips HBM — the failure mode that made the
+    explicit-shuffle variant above 2x slower than naive in round 1.
+    Exact equivalence tested in tests/test_ops.py.
+    """
+    a = jnp.asarray([[1.0, 0.0, 0.0],
+                     [1.0, 1.0, 0.0],
+                     [0.0, 1.0, 1.0],
+                     [0.0, 0.0, 1.0]], dtype)  # (4,3) tap-aggregation map
+    w = kernel.astype(dtype)
+    # (3,3,Ci,Co) -> (4,3,Ci,Co) -> (4,4,Ci,Co): aggregate y-taps then x-taps
+    w4 = jnp.einsum("ay,yxio->axio", a, w)
+    w4 = jnp.einsum("bx,axio->abio", a, w4)
+    y = lax.conv_general_dilated(
+        x.astype(dtype), w4, (1, 1), ((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + bias).astype(dtype)
+
+
 def upsample2_conv3x3(x, kernel, bias, dtype=jnp.float32):
     """Fused path. x: (N,H,W,Ci), kernel: (3,3,Ci,Co), bias: (Co,).
     Returns (N,2H,2W,Co)."""

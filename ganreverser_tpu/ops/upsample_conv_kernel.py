@@ -49,10 +49,23 @@ def phase_kernels(kernel: jax.Array) -> jax.Array:
     return jnp.einsum("atu,bsv,uvio->atbsio", m, m, kernel)
 
 
-def _kernel(h: int, w: int, act: str, out_dtype):
-    def body(x_ref, k_ref, scale_ref, shift_ref, out_ref):
+def _apply_act(y, act):
+    if act == "relu":
+        return jnp.maximum(y, 0.0)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(y)
+    if act != "none":
+        raise ValueError(act)
+    return y
+
+
+def _kernel(h: int, w: int, act: str, out_dtype, final_act: str):
+    def body(x_ref, k_ref, scale_ref, shift_ref, *rest):
         """x_ref: (T, H+2, W+2, Ci) zero-padded by 1; k_ref: (16, Ci, Co)
-        flattened [a,ta,b,tb]; scale/shift: (1, Co); out: (T, 2H, 2W, Co)."""
+        flattened [a,ta,b,tb]; scale/shift: (1, Co); out: (T, 2H, 2W, Co).
+        With a fused final conv, ``rest`` is (fk_ref (9, Co, Cf),
+        fb_ref (1, Cf), out_ref (T, 2H, 2W, Cf))."""
+        out_ref = rest[-1]
         t = x_ref.shape[0]
         ci = x_ref.shape[-1]
         co = k_ref.shape[-1]
@@ -70,13 +83,7 @@ def _kernel(h: int, w: int, act: str, out_dtype):
                             k_ref[((a * 2 + ta) * 2 + b) * 2 + tb],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                y = acc * scale_ref[0] + shift_ref[0]
-                if act == "relu":
-                    y = jnp.maximum(y, 0.0)
-                elif act == "sigmoid":
-                    y = jax.nn.sigmoid(y)
-                elif act != "none":
-                    raise ValueError(act)
+                y = _apply_act(acc * scale_ref[0] + shift_ref[0], act)
                 row.append(y.reshape(t, h, w, co))
             phases.append(row)
         # on-chip interleave: columns first (w,2)->2w, then rows (h,2)->2h
@@ -85,20 +92,48 @@ def _kernel(h: int, w: int, act: str, out_dtype):
             z = jnp.stack([phases[a][0], phases[a][1]], axis=3)
             rows.append(z.reshape(t, h, 2 * w, co))
         full = jnp.stack(rows, axis=2).reshape(t, 2 * h, 2 * w, co)
-        out_ref[:] = full.astype(out_dtype)
+        if len(rest) == 1:
+            out_ref[:] = full.astype(out_dtype)
+            return
+        # fused trailing 3x3 SAME conv + bias + final_act (G's 128->C
+        # output head, models.lua:132-133) over the VMEM-resident tile —
+        # the high-res Co-channel activation never touches HBM
+        fk_ref, fb_ref = rest[0], rest[1]
+        cf = fk_ref.shape[-1]
+        oh, ow = 2 * h, 2 * w
+        xp = jnp.pad(full.astype(x_ref.dtype),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc2 = jnp.zeros((t * oh * ow, cf), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                patch = xp[:, ky:ky + oh, kx:kx + ow, :]
+                acc2 += jax.lax.dot_general(
+                    patch.reshape(t * oh * ow, co), fk_ref[ky * 3 + kx],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        y2 = _apply_act(acc2 + fb_ref[0], final_act)
+        out_ref[:] = y2.reshape(t, oh, ow, cf).astype(out_dtype)
 
     return body
 
 
 @functools.partial(jax.jit, static_argnames=("act", "tile_n", "interpret",
-                                             "out_dtype"))
+                                             "out_dtype", "final_act"))
 def upsample2_conv3x3_bn_act(x: jax.Array, kernel: jax.Array,
                              scale: jax.Array, shift: jax.Array, *,
                              act: str = "relu", tile_n: int = 2,
-                             interpret=None, out_dtype=None) -> jax.Array:
+                             interpret=None, out_dtype=None,
+                             final_kernel: jax.Array | None = None,
+                             final_bias: jax.Array | None = None,
+                             final_act: str = "sigmoid") -> jax.Array:
     """x: (N,H,W,Ci); kernel: (3,3,Ci,Co) — the UNFUSED conv's parameters
     (checkpoint-compatible); scale/shift: (Co,) from fold_batchnorm (pass
     scale=1, shift=bias for a plain conv). Returns (N,2H,2W,Co).
+
+    With ``final_kernel (3,3,Co,Cf)`` / ``final_bias (Cf,)``, a trailing
+    3x3 SAME conv + ``final_act`` is fused into the same kernel (G's
+    output head, models.lua:132-133) and the return is (N,2H,2W,Cf) —
+    the (N,2H,2W,Co) intermediate never leaves VMEM.
 
     Eval-mode only (BN running stats folded); N % tile_n == 0.
     """
@@ -114,20 +149,41 @@ def upsample2_conv3x3_bn_act(x: jax.Array, kernel: jax.Array,
     scale2 = scale.reshape(1, co).astype(jnp.float32)
     shift2 = shift.reshape(1, co).astype(jnp.float32)
 
+    in_specs = [
+        pl.BlockSpec((tile_n, h + 2, w + 2, ci), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, ci, co), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, k16, scale2, shift2]
+    c_out = co
+    if final_kernel is not None:
+        cf = final_kernel.shape[-1]
+        operands += [final_kernel.reshape(9, co, cf).astype(x.dtype),
+                     final_bias.reshape(1, cf).astype(jnp.float32)]
+        in_specs += [
+            pl.BlockSpec((9, co, cf), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cf), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        c_out = cf
+
     return pl.pallas_call(
-        _kernel(h, w, act, out_dtype),
+        _kernel(h, w, act, out_dtype,
+                final_act if final_kernel is not None else "none"),
         grid=(n // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, h + 2, w + 2, ci), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, ci, co), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_n, 2 * h, 2 * w, co),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_n, 2 * h, 2 * w, c_out),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, co), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c_out), out_dtype),
         interpret=interpret,
-    )(xp, k16, scale2, shift2)
+        # the default 16MB scoped-vmem budget rejects useful tiles (measured
+        # 26.7MB at tile_n=4, 256x32x32x512->256); v5e has 128MB physical
+        # VMEM — raise the cap and let double buffering use it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*operands)

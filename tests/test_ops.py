@@ -24,6 +24,23 @@ def test_upsample_conv_exact(key, h, w, ci, co):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("h,w,ci,co", [(4, 4, 3, 5), (8, 6, 7, 4),
+                                       (16, 16, 8, 8)])
+def test_upsample_conv_dilated_exact(key, h, w, ci, co):
+    """lhs-dilated single-conv formulation == naive repeat+conv (exact
+    tap-aggregation equivalence, ops/upsample_conv.py)."""
+    from ganreverser_tpu.ops.upsample_conv import upsample2_conv3x3_dilated
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, h, w, ci))
+    kernel = jax.random.normal(k2, (3, 3, ci, co))
+    bias = jax.random.normal(k3, (co,))
+    ref = upsample2_conv3x3_reference(x, kernel, bias)
+    out = upsample2_conv3x3_dilated(x, kernel, bias)
+    assert out.shape == (2, 2 * h, 2 * w, co)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("h,w,ci,co,act", [(4, 4, 3, 5, "relu"),
                                            (8, 8, 8, 16, "relu"),
                                            (8, 6, 7, 4, "none"),
@@ -117,6 +134,55 @@ def test_fast_generator_matches_G_f32(key):
     ref, _ = G.apply(variables, z, train=False)
     out = make_fast_generator(dims, nd, dtype=jnp.float32,
                               tile_n=1)(variables, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_conv_fused_final_head(key):
+    """upsample2_conv3x3_bn_act with the fused trailing conv+sigmoid head
+    (G's output layer) vs the unfused composition, f32 interpret mode."""
+    from ganreverser_tpu.ops.upsample_conv import upsample2_conv3x3_reference
+    from ganreverser_tpu.ops.upsample_conv_kernel import (
+        upsample2_conv3x3_bn_act)
+    from jax import lax
+    h, w, ci, co, cf = 6, 4, 5, 8, 3
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (2, h, w, ci))
+    kernel = jax.random.normal(ks[1], (3, 3, ci, co)) * 0.3
+    scale = jax.random.uniform(ks[2], (co,), minval=0.5, maxval=1.5)
+    shift = jax.random.normal(ks[3], (co,)) * 0.1
+    fk = jax.random.normal(ks[4], (3, 3, co, cf)) * 0.3
+    fb = jax.random.normal(ks[5], (cf,)) * 0.1
+
+    y = upsample2_conv3x3_reference(x, kernel, jnp.zeros((co,)))
+    y = jnp.maximum(y * scale + shift, 0.0)
+    ref = jax.nn.sigmoid(lax.conv_general_dilated(
+        y, fk, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + fb)
+
+    out = upsample2_conv3x3_bn_act(
+        x, kernel, scale, shift, act="relu", tile_n=1, interpret=True,
+        final_kernel=fk, final_bias=fb, final_act="sigmoid")
+    assert out.shape == (2, 2 * h, 2 * w, cf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fast_generator_xla_matches_G_f32(key):
+    """models/fastpath.make_fast_generator_xla (BN folded + lhs-dilated
+    upsample conv, pure XLA) == create_G3.apply(train=False), f32 tight."""
+    from ganreverser_tpu.models.fastpath import make_fast_generator_xla
+    dims, nd = (1, 8, 8), 6
+    G = M.create_G(dims, nd)
+    variables, _ = G.init(key, (nd,))
+    for l in ("l1", "l6", "l10"):
+        variables["state"][l]["mean"] = 0.05 * jnp.ones_like(
+            variables["state"][l]["mean"])
+        variables["state"][l]["var"] = 0.8 * jnp.ones_like(
+            variables["state"][l]["var"])
+    z = jax.random.normal(jax.random.fold_in(key, 1), (2, nd))
+    ref, _ = G.apply(variables, z, train=False)
+    out = make_fast_generator_xla(dims, nd, dtype=jnp.float32)(variables, z)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
