@@ -214,10 +214,17 @@ def check_conv_block_stages(n=256):
                     flush=True)
 
 
+def check_upsample_xla_stages(n=256):
+    """The XLA formulations at the REAL 64x64-flagship G stage shapes."""
+    for (h, ci, co) in ((16, 512, 256), (32, 256, 128)):
+        check_upsample_xla(n=n, h=h, w=h, ci=ci, co=co)
+
+
 CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
-          "conv_block_stages": check_conv_block_stages}
+          "conv_block_stages": check_conv_block_stages,
+          "upsample_xla_stages": check_upsample_xla_stages}
 
 
 def main(argv=None):

@@ -17,6 +17,32 @@ from ..models.modules import Module
 from .batched import forward_batched
 
 
+@functools.lru_cache(maxsize=64)
+def _eval_program(net: Module, batch_size: int, needs_rng: bool):
+    """Cached jitted ``(variables[, rng], x) -> net(x, train=False)`` over
+    device-side chunks. Modules are frozen dataclasses (hashable), so the
+    cache key is (architecture, batch_size): defining fresh jits/closures
+    per call — the previous shape of this file — re-traced AND re-compiled
+    the whole scan program on EVERY call (variables were baked in as
+    constants), measured at 513 img/s where the cached program does 23k+
+    (benchmarks/RESULTS.md round 2, config 4)."""
+    if needs_rng:
+        @jax.jit
+        def run(variables, rng, x):
+            def fwd(b):
+                y, _ = net.apply(variables, b, train=False, rng=rng)
+                return y
+            return forward_batched(fwd, x, batch_size)
+    else:
+        @jax.jit
+        def run(variables, x):
+            def fwd(b):
+                y, _ = net.apply(variables, b, train=False)
+                return y
+            return forward_batched(fwd, x, batch_size)
+    return run
+
+
 def variation_sweep(G: Module, g_variables: dict, *, noise_dim: int,
                     noise_method: str, key: jax.Array, nb_steps: int = 16,
                     batch_size: int = 256) -> jax.Array:
@@ -31,12 +57,7 @@ def variation_sweep(G: Module, g_variables: dict, *, noise_dim: int,
     vals = jnp.tile(steps, (noise_dim,))
     rows = jnp.arange(noise_dim * nb_steps)
     noise = noise.at[rows, comp].set(vals)
-
-    def g_fwd(z):
-        y, _ = G.apply(g_variables, z, train=False)
-        return y
-
-    return forward_batched(jax.jit(g_fwd), noise, batch_size)
+    return _eval_program(G, batch_size, False)(g_variables, noise)
 
 
 def generate_and_invert(G: Module, R: Module, g_variables: dict,
@@ -52,27 +73,13 @@ def generate_and_invert(G: Module, R: Module, g_variables: dict,
     k_noise, k_fix = jax.random.split(key)
     noise = noise_inputs(k_noise, n, noise_dim, noise_method)
 
-    @jax.jit
-    def g_fwd(z):
-        y, _ = G.apply(g_variables, z, train=False)
-        return y
-
-    @jax.jit
-    def r_fwd(x):
-        y, _ = R.apply(r_variables, x, train=False)
-        return y
-
-    images = forward_batched(g_fwd, noise, batch_size)
-    attributes = forward_batched(r_fwd, images, batch_size)
+    images = _eval_program(G, batch_size, False)(g_variables, noise)
+    attributes = _eval_program(R, batch_size, False)(r_variables, images)
     if R_fixer is None:
         return noise, images, attributes
 
-    @jax.jit
-    def rf_fwd(x):
-        y, _ = R_fixer.apply(r_fixer_variables, x, train=False, rng=k_fix)
-        return y
-
-    attributes_fixer = forward_batched(rf_fwd, images, batch_size)
+    attributes_fixer = _eval_program(R_fixer, batch_size, True)(
+        r_fixer_variables, k_fix, images)
     return noise, images, attributes, attributes_fixer
 
 
@@ -81,12 +88,7 @@ def fix_images(G: Module, g_variables: dict, recovered_z: jax.Array,
     """⑤ G∘R image fixing (apply_r.lua:324-352): re-generate from recovered
     latents. The reference pads to batch-of-2 because torch BN rejects
     batch-1 (apply_r.lua:331); here it's one large batched forward."""
-    @jax.jit
-    def g_fwd(z):
-        y, _ = G.apply(g_variables, z, train=False)
-        return y
-
-    return forward_batched(g_fwd, recovered_z, batch_size)
+    return _eval_program(G, batch_size, False)(g_variables, recovered_z)
 
 
 @jax.jit

@@ -117,14 +117,12 @@ class Conv(Module):
         return {"params": params, "state": {}}, self.out_shape(in_shape)
 
     def apply(self, variables, x, *, train=False, rng=None):
+        from ..ops.precision import conv_f32acc
         p = variables["params"]
-        y = lax.conv_general_dilated(
+        y = conv_f32acc(
             x.astype(self.dtype), p["kernel"].astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+            (self.stride, self.stride), "SAME", None,
+            ("NHWC", "HWIO", "NHWC"))
         y = (y + p["bias"]).astype(self.dtype)
         return y, {}
 

@@ -19,17 +19,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
+from .precision import conv_f32acc
 
 
 def upsample2_conv3x3_reference(x, kernel, bias, dtype=jnp.float32):
     """Naive composition: repeat-upsample then SAME 3x3 conv (the baseline
     the fused path is tested against)."""
     up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    y = lax.conv_general_dilated(
-        up.astype(dtype), kernel.astype(dtype), (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    y = conv_f32acc(up.astype(dtype), kernel.astype(dtype), (1, 1), "SAME",
+                    None, ("NHWC", "HWIO", "NHWC"))
     return (y + bias).astype(dtype)
 
 
@@ -60,11 +59,8 @@ def upsample2_conv3x3_dilated(x, kernel, bias, dtype=jnp.float32):
     # (3,3,Ci,Co) -> (4,3,Ci,Co) -> (4,4,Ci,Co): aggregate y-taps then x-taps
     w4 = jnp.einsum("ay,yxio->axio", a, w)
     w4 = jnp.einsum("bx,axio->abio", a, w4)
-    y = lax.conv_general_dilated(
-        x.astype(dtype), w4, (1, 1), ((2, 2), (2, 2)),
-        lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    y = conv_f32acc(x.astype(dtype), w4, (1, 1), ((2, 2), (2, 2)),
+                    (2, 2), ("NHWC", "HWIO", "NHWC"))
     return (y + bias).astype(dtype)
 
 
@@ -88,10 +84,8 @@ def upsample2_conv3x3(x, kernel, bias, dtype=jnp.float32):
     k_all = jnp.concatenate([k00, k01, k10, k11], axis=-1)  # (2,2,Ci,4Co)
 
     xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    y = lax.conv_general_dilated(
-        xp, k_all, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)        # (N, H+1, W+1, 4Co)
+    y = conv_f32acc(xp, k_all, (1, 1), "VALID", None,
+                    ("NHWC", "HWIO", "NHWC"))      # (N, H+1, W+1, 4Co)
 
     y00 = y[:, :h, :w, 0 * co:1 * co]
     y01 = y[:, :h, 1:, 1 * co:2 * co]

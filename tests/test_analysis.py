@@ -144,3 +144,16 @@ def test_refiner_improves_loss(key):
     loss0 = np.mean((np.asarray(out0) - np.asarray(images_eval)) ** 2,
                     axis=(1, 2, 3))
     assert np.all(np.asarray(final_loss) <= loss0 + 1e-7)
+
+
+def test_refiner_bf16_generator(key):
+    """Refinement through a bf16 G (BASELINE config 5's production dtype):
+    crashed pre-round-2-fix on the conv-transpose dtype mix
+    (ops/precision.py::conv_f32acc)."""
+    G = M.create_G((1, 8, 8), 4, dtype=jnp.bfloat16)
+    gv, _ = G.init(jax.random.fold_in(key, 0), (4,))
+    z_true = noise_inputs(jax.random.fold_in(key, 1), 4, 4, "normal")
+    images, _ = G.apply(gv, z_true, train=False)
+    refine = A.make_refiner(G, steps=10, lr=0.1)
+    z, final_loss = refine(gv, images, jnp.zeros_like(z_true))
+    assert np.isfinite(np.asarray(final_loss)).all()

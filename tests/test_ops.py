@@ -168,6 +168,42 @@ def test_upsample_conv_fused_final_head(key):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_conv_grads_work_and_match_f32(key):
+    """Differentiating through bf16 convs (ops/precision.py::conv_f32acc):
+    JAX's conv transpose rejects the f32-cotangent/bf16-operand mix the
+    preferred_element_type idiom produces, which broke bf16 training and
+    config-5 latent refinement. The custom vjp must (a) work and (b) agree
+    with the f32 gradients to bf16 tolerance — G (incl. the dilated
+    UpsampleConv default) and R both."""
+    dims, nd = (1, 8, 8), 6
+    for make, in_shape, x_maker in (
+            (lambda dt: M.create_G(dims, nd, dtype=dt), (nd,),
+             lambda k: jax.random.normal(k, (2, nd))),
+            (lambda dt: M.create_R(dims, nd, "normal", dtype=dt), (8, 8, 1),
+             lambda k: jax.random.uniform(k, (2, 8, 8, 1)))):
+        net32 = make(jnp.float32)
+        net16 = make(jnp.bfloat16)
+        variables, _ = net32.init(key, in_shape)
+        x = x_maker(jax.random.fold_in(key, 1))
+
+        def loss(net):
+            def f(params):
+                v = {"params": params, "state": variables["state"]}
+                y, _ = net.apply(v, x, train=False)
+                return jnp.mean(y.astype(jnp.float32) ** 2)
+            return f
+
+        g32 = jax.grad(loss(net32))(variables["params"])
+        g16 = jax.grad(loss(net16))(variables["params"])  # crashed pre-fix
+        flat32 = jnp.concatenate(
+            [jnp.ravel(t) for t in jax.tree_util.tree_leaves(g32)])
+        flat16 = jnp.concatenate(
+            [jnp.ravel(t).astype(jnp.float32)
+             for t in jax.tree_util.tree_leaves(g16)])
+        denom = float(jnp.max(jnp.abs(flat32))) + 1e-8
+        assert float(jnp.max(jnp.abs(flat16 - flat32))) / denom < 0.1
+
+
 def test_fast_generator_xla_matches_G_f32(key):
     """models/fastpath.make_fast_generator_xla (BN folded + lhs-dilated
     upsample conv, pure XLA) == create_G3.apply(train=False), f32 tight."""
