@@ -230,7 +230,38 @@ def config5():
           batch * steps / t, "img-steps/s")
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+def config6():
+    """Training at production scale (framework measurement, not a reference
+    schedule): the single-scan epoch program at batch 256, f32 and bf16
+    compute (bf16 training exercises the conv_f32acc custom vjp)."""
+    import jax, jax.numpy as jnp
+    from ganreverser_tpu import models as M, optim as O, train as T
+    from ganreverser_tpu.core.prng import seed_key
+
+    dims, nd, batch, n_batches = (3, 64, 64), 100, 256, 10
+    key = seed_key(0)
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        G = M.create_G(dims, nd, dtype=dtype)
+        D = M.create_D(dims, dtype=dtype)
+        gs = T.GanState(
+            g=T.create_train_state(G, O.adam(), jax.random.fold_in(key, 1),
+                                   (nd,)),
+            d=T.create_train_state(D, O.adam(), jax.random.fold_in(key, 2),
+                                   (64, 64, 3)))
+        epoch = T.make_epoch_program(
+            G, D, batch_size=batch, noise_dim=nd, noise_method="normal",
+            n_batches=n_batches, donate=False)
+        data = jax.random.uniform(jax.random.fold_in(key, 8),
+                                  (n_batches * batch // 2, 64, 64, 3))
+        t = _time_best(epoch, gs, T.Confusion.zero(), data,
+                       jax.random.fold_in(key, 9))
+        _emit(6, f"epoch program b{batch} {tag} ({n_batches} D+G batches)",
+              n_batches * batch / t, "img/s",
+              step_ms=round(t * 1e3 / n_batches, 2))
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
 
 
 def main(argv=None):
