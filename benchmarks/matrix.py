@@ -104,7 +104,17 @@ def config2():
           step_ms=round(t * 1e3, 2))
 
     # the production path: whole epoch as ONE scan program (30 batches)
-    n_batches = 30
+    t, n_batches = _epoch_program_time(G, D, gs, nd, batch, 30)
+    _emit(2, f"epoch program ({n_batches} D+G batches, one dispatch)",
+          n_batches * batch / t, "img/s", epoch_ms=round(t * 1e3, 2))
+
+
+def _epoch_program_time(G, D, gs, nd, batch, n_batches):
+    """Time the single-scan epoch program (shared by configs 2 and 6)."""
+    import jax
+    from ganreverser_tpu import train as T
+    from ganreverser_tpu.core.prng import seed_key
+    key = seed_key(0)
     epoch = T.make_epoch_program(G, D, batch_size=batch, noise_dim=nd,
                                  noise_method="normal", n_batches=n_batches,
                                  donate=False)
@@ -112,8 +122,7 @@ def config2():
                               (n_batches * batch // 2, 64, 64, 3))
     t = _time_best(epoch, gs, T.Confusion.zero(), data,
                    jax.random.fold_in(key, 9))
-    _emit(2, f"epoch program ({n_batches} D+G batches, one dispatch)",
-          n_batches * batch / t, "img/s", epoch_ms=round(t * 1e3, 2))
+    return t, n_batches
 
 
 def config3():
@@ -248,13 +257,7 @@ def config6():
                                    (nd,)),
             d=T.create_train_state(D, O.adam(), jax.random.fold_in(key, 2),
                                    (64, 64, 3)))
-        epoch = T.make_epoch_program(
-            G, D, batch_size=batch, noise_dim=nd, noise_method="normal",
-            n_batches=n_batches, donate=False)
-        data = jax.random.uniform(jax.random.fold_in(key, 8),
-                                  (n_batches * batch // 2, 64, 64, 3))
-        t = _time_best(epoch, gs, T.Confusion.zero(), data,
-                       jax.random.fold_in(key, 9))
+        t, _ = _epoch_program_time(G, D, gs, nd, batch, n_batches)
         _emit(6, f"epoch program b{batch} {tag} ({n_batches} D+G batches)",
               n_batches * batch / t, "img/s",
               step_ms=round(t * 1e3 / n_batches, 2))

@@ -31,6 +31,7 @@ def probe(name, fn):
     except Exception as e:  # noqa: BLE001 — diagnostic script
         msg = str(e).splitlines()[0][:160]
         print(f"[probe] {name}: FAIL {type(e).__name__}: {msg}")
+        traceback.print_exc()  # full traceback while the exception is live
         return False
 
 
@@ -53,7 +54,6 @@ def main():
     if not probe("pallas_trivial_add", trivial):
         print("[probe] VERDICT: tunnel compile helper rejects ALL Mosaic "
               "payloads — infrastructure, not kernel-specific.")
-        traceback.print_exc()
         return
 
     # 2. gridded kernel with a block spec (what production kernels use)

@@ -54,13 +54,15 @@ def upsample2_conv3x3_dilated(x, kernel, bias, dtype=jnp.float32):
     a = jnp.asarray([[1.0, 0.0, 0.0],
                      [1.0, 1.0, 0.0],
                      [0.0, 1.0, 1.0],
-                     [0.0, 0.0, 1.0]], dtype)  # (4,3) tap-aggregation map
-    w = kernel.astype(dtype)
-    # (3,3,Ci,Co) -> (4,3,Ci,Co) -> (4,4,Ci,Co): aggregate y-taps then x-taps
+                     [0.0, 0.0, 1.0]], jnp.float32)  # (4,3) tap-agg map
+    w = kernel.astype(jnp.float32)
+    # (3,3,Ci,Co) -> (4,3,Ci,Co) -> (4,4,Ci,Co): aggregate y-taps then
+    # x-taps — in f32 regardless of compute dtype so tap sums round ONCE
+    # (trace-time constant folding on weights; zero runtime cost)
     w4 = jnp.einsum("ay,yxio->axio", a, w)
     w4 = jnp.einsum("bx,axio->abio", a, w4)
-    y = conv_f32acc(x.astype(dtype), w4, (1, 1), ((2, 2), (2, 2)),
-                    (2, 2), ("NHWC", "HWIO", "NHWC"))
+    y = conv_f32acc(x.astype(dtype), w4.astype(dtype), (1, 1),
+                    ((2, 2), (2, 2)), (2, 2), ("NHWC", "HWIO", "NHWC"))
     return (y + bias).astype(dtype)
 
 
@@ -69,7 +71,7 @@ def upsample2_conv3x3(x, kernel, bias, dtype=jnp.float32):
     Returns (N,2H,2W,Co)."""
     n, h, w, ci = x.shape
     co = kernel.shape[-1]
-    W = kernel.astype(dtype)
+    W = kernel.astype(jnp.float32)  # aggregate taps in f32, cast once below
 
     # parity-aggregated kernels along y: (2,3,Ci,Co)
     wy0 = jnp.stack([W[0], W[1] + W[2]])          # output rows 2r
@@ -81,7 +83,8 @@ def upsample2_conv3x3(x, kernel, bias, dtype=jnp.float32):
 
     k00, k01 = agg_x(wy0)
     k10, k11 = agg_x(wy1)
-    k_all = jnp.concatenate([k00, k01, k10, k11], axis=-1)  # (2,2,Ci,4Co)
+    k_all = jnp.concatenate([k00, k01, k10, k11],
+                            axis=-1).astype(dtype)           # (2,2,Ci,4Co)
 
     xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
     y = conv_f32acc(xp, k_all, (1, 1), "VALID", None,
