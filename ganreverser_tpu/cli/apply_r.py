@@ -95,6 +95,13 @@ def main(argv=None):
 
     # --- ② generate N + invert (apply_r.lua:143-153) ---
     print("Generating images...")
+    # Pallas kernels have no SPMD partitioning rule — under a data mesh the
+    # analysis sections stay on the (sharding-aware) lax paths
+    use_pallas_kernels = cfg.pallas and cfg.mesh_data <= 1
+    if cfg.pallas and cfg.mesh_data > 1:
+        print("[apply_r] note: --pallas kernels are skipped under "
+              "--mesh_data>1 (sharded arrays use the lax paths)",
+              file=sys.stderr)
     if cfg.mesh_data > 1:
         # shard the N axis over the mesh (SURVEY.md §5.7); params replicated
         from .. import parallel as par
@@ -164,12 +171,18 @@ def main(argv=None):
     if cfg.refine_steps > 0:
         print(f"Refining latents ({cfg.refine_steps} adam steps on z)...")
         refine = A.make_refiner(G, steps=cfg.refine_steps, lr=cfg.refine_lr)
+        fixer_was_alias = attributes_fixer is attributes
         attributes, final_loss = refine(g_vars, images, attributes)
+        if fixer_was_alias:
+            # no fixer-R: downstream fixing/anomalies follow the refined
+            # latents (previously the alias was bound pre-refinement, so
+            # --refine_steps silently never reached those pipelines)
+            attributes_fixer = attributes
         print(f"  final pixel MSE: {float(jnp.mean(final_loss)):.6f}")
 
     # --- ③ clustering (apply_r.lua:158-163, 197-260) ---
     print("Clustering...")
-    if cfg.pallas:
+    if use_pallas_kernels:
         from ..ops.kmeans_kernel import kmeans_pallas
         centroids, counts = kmeans_pallas(
             jax.random.fold_in(key, 3), attributes, cfg.clusters,
@@ -192,7 +205,7 @@ def main(argv=None):
     # --- ④ similarity search (apply_r.lua:169-172, 265-318) ---
     print("Finding faces by similarity...")
     needles = jnp.array([(i + 1) * 100 - 1 for i in range(cfg.needles)])
-    if cfg.pallas:
+    if use_pallas_kernels:
         from ..ops.topk_kernel import cosine_topk_pallas
         attr_topk = cosine_topk_pallas(attributes, needles, 100)
         pix_topk = cosine_topk_pallas(

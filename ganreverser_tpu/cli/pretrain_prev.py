@@ -26,21 +26,16 @@ from . import common
 
 
 def _resize_batch(images: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Resize NHWC on the host (PIL bilinear) when geometries differ."""
+    """Resize NHWC on the host when geometries differ — the C++ (or numpy
+    fallback) bilinear path, float32 end-to-end. The previous PIL/uint8
+    implementation clipped to [0,1] and quantized through 8-bit images,
+    which destroyed negative YUV chroma in cross-colorspace distillation
+    targets (U in [-0.436,0.436]) and lost float precision."""
     if images.shape[1] == h and images.shape[2] == w:
         return images
-    from PIL import Image
-    out = np.empty((images.shape[0], h, w, images.shape[3]), np.float32)
-    for i, im in enumerate(images):
-        arr = np.clip(im, 0, 1)
-        if arr.shape[-1] == 1:
-            pil = Image.fromarray((arr[..., 0] * 255).astype(np.uint8))
-        else:
-            pil = Image.fromarray((arr * 255).astype(np.uint8))
-        pil = pil.resize((w, h), Image.BILINEAR)
-        res = np.asarray(pil, np.float32) / 255.0
-        out[i] = res[..., None] if res.ndim == 2 else res
-    return out
+    from ..native import resize_bilinear_batch
+    return resize_bilinear_batch(
+        np.ascontiguousarray(images, np.float32), h, w)
 
 
 def main(argv=None):

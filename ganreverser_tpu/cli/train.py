@@ -221,8 +221,17 @@ def main(argv=None):
                                                  - n_local.start), -1,
             host_only=True)
     else:
+        # single process: place batches directly in their final sharding
+        # from the prefetch thread (device 0 then shard_batch would move
+        # the whole epoch twice and peak on one chip). The --normalize
+        # path mutates on host afterwards, so it keeps host placement.
+        sharding = None
+        if mesh is not None and not cfg.normalize:
+            from .. import parallel as par
+            sharding = par.data_sharding(mesh, 4)
         data_iter = prefetch_to_device(
-            lambda i: dataset.load_random_images(n_load), -1)
+            lambda i: dataset.load_random_images(n_load), -1,
+            sharding=sharding)
 
     while True:
         # fixed: the reference's inverted --epochs check stops immediately

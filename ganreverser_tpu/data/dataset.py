@@ -29,8 +29,14 @@ def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
             raise FileNotFoundError(
                 f"dataset directory {d!r} does not exist (pass a directory "
                 "of *.jpg images, or 'synthetic')")
+        # match the real extension ('.jpg', case-insensitive; also '.jpeg'
+        # for ext='jpg') — a bare endswith matched non-extension suffixes
+        # like 'thumbsjpg' and missed '.JPG' camera exports
+        suffixes = ("." + ext.lower(),)
+        if ext.lower() == "jpg":
+            suffixes += (".jpeg",)
         found = [os.path.join(d, name) for name in os.listdir(d)
-                 if name.endswith(ext)]
+                 if name.lower().endswith(suffixes)]
         if not found:
             raise FileNotFoundError(
                 f"directory {d!r} doesn't contain any files of type: {ext}")

@@ -51,32 +51,7 @@ def kmeans_step_pallas(x: jax.Array, centroids: jax.Array, *,
                        tile_n: int = 512, interpret=None):
     """One fused Lloyd update. x: (N, D), centroids: (K, D); N % tile_n == 0.
     Returns (new_centroids, counts); empty clusters keep their centroid."""
-    from .topk_kernel import _auto_interpret
-    interpret = _auto_interpret(interpret)
-    n, d = x.shape
-    k = centroids.shape[0]
-    assert n % tile_n == 0, (n, tile_n)
-
-    sums, counts = pl.pallas_call(
-        _kernel,
-        grid=(n // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((k, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((k, d), jnp.float32),
-                   jax.ShapeDtypeStruct((1, k), jnp.float32)),
-        interpret=interpret,
-    )(x, centroids)
-    counts = counts[0]
+    sums, counts = _kmeans_sums_counts(x, centroids, tile_n, interpret)
     new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
     new_centroids = jnp.where(counts[:, None] > 0, new_centroids,
                               centroids.astype(jnp.float32))
@@ -105,19 +80,20 @@ def kmeans_pallas(key: jax.Array, x: jax.Array, k: int, iters: int, *,
     for _ in range(iters):
         sums, counts = _kmeans_sums_counts(xp, centroids, tile_n, interpret)
         if pad:
-            # remove the padded copies of row 0 from their cluster
-            d0 = _pairwise_row_dist(x[0], centroids)
+            # remove the padded copies of row 0 from their cluster — using
+            # the KERNEL's exact argmin arithmetic (||c||^2 - 2 x.c, f32
+            # dot); the earlier sum((c-x0)^2) form could round to a
+            # different argmin for near-equidistant centroids and subtract
+            # from the wrong cluster
+            d0 = (jnp.sum(centroids * centroids, axis=1)
+                  - 2.0 * jnp.dot(centroids, x[0],
+                                  preferred_element_type=jnp.float32))
             a0 = jnp.argmin(d0)
             sums = sums.at[a0].add(-pad * x[0])
             counts = counts.at[a0].add(-float(pad))
         new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
         centroids = jnp.where(counts[:, None] > 0, new_centroids, centroids)
     return centroids, counts
-
-
-def _pairwise_row_dist(row, centroids):
-    d = centroids - row[None, :]
-    return jnp.sum(d * d, axis=1)
 
 
 def _kmeans_sums_counts(x, centroids, tile_n, interpret):

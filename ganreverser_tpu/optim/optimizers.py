@@ -38,6 +38,19 @@ def _zeros_like(params):
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
+def _map_split(one, n_out, grads, *trees):
+    """tree_map ``one`` over (grads, *trees) and split the per-leaf output
+    tuples into ``n_out`` trees. Multi-tree tree_map also ENFORCES that the
+    state/param treedefs match grads' (the old flatten/zip silently relied
+    on leaf order)."""
+    packed = jax.tree_util.tree_map(lambda *leaves: one(*leaves),
+                                    grads, *trees)
+    tdef = jax.tree_util.tree_structure(grads)
+    flat = tdef.flatten_up_to(packed)
+    return tuple(tdef.unflatten([leaf[i] for leaf in flat])
+                 for i in range(n_out))
+
+
 def sgd(lr: float = 1e-3, momentum: float = 0.0, dampening: float = 0.0,
         weight_decay: float = 0.0, nesterov: bool = False,
         lr_decay: float = 0.0) -> Optimizer:
@@ -61,12 +74,7 @@ def sgd(lr: float = 1e-3, momentum: float = 0.0, dampening: float = 0.0,
                 d = g
             return -clr * d, m
 
-        flat_g, tdef = jax.tree_util.tree_flatten(grads)
-        flat_p = jax.tree_util.tree_leaves(params)
-        flat_m = jax.tree_util.tree_leaves(state["mom"])
-        outs = [one(g, p, m) for g, p, m in zip(flat_g, flat_p, flat_m)]
-        updates = tdef.unflatten([o[0] for o in outs])
-        new_mom = tdef.unflatten([o[1] for o in outs])
+        updates, new_mom = _map_split(one, 2, grads, params, state["mom"])
         return updates, {"step": step + 1, "mom": new_mom}
 
     return Optimizer(init, update)
@@ -91,13 +99,8 @@ def adagrad(lr: float = 1e-2, lr_decay: float = 0.0,
             a = a + g * g
             return -clr * g / (jnp.sqrt(a) + eps), a
 
-        flat_g, tdef = jax.tree_util.tree_flatten(grads)
-        flat_p = jax.tree_util.tree_leaves(params)
-        flat_a = jax.tree_util.tree_leaves(state["acc"])
-        outs = [one(g, p, a) for g, p, a in zip(flat_g, flat_p, flat_a)]
-        return (tdef.unflatten([o[0] for o in outs]),
-                {"step": step + 1,
-                 "acc": tdef.unflatten([o[1] for o in outs])})
+        updates, acc = _map_split(one, 2, grads, params, state["acc"])
+        return updates, {"step": step + 1, "acc": acc}
 
     return Optimizer(init, update)
 
@@ -118,15 +121,9 @@ def adadelta(rho: float = 0.9, eps: float = 1e-6,
             ad = rho * ad + (1.0 - rho) * d * d
             return d, ag, ad
 
-        flat_g, tdef = jax.tree_util.tree_flatten(grads)
-        flat_p = jax.tree_util.tree_leaves(params)
-        flat_ag = jax.tree_util.tree_leaves(state["acc_g"])
-        flat_ad = jax.tree_util.tree_leaves(state["acc_d"])
-        outs = [one(g, p, ag, ad)
-                for g, p, ag, ad in zip(flat_g, flat_p, flat_ag, flat_ad)]
-        return (tdef.unflatten([o[0] for o in outs]),
-                {"acc_g": tdef.unflatten([o[1] for o in outs]),
-                 "acc_d": tdef.unflatten([o[2] for o in outs])})
+        updates, ag, ad = _map_split(one, 3, grads, params,
+                                     state["acc_g"], state["acc_d"])
+        return updates, {"acc_g": ag, "acc_d": ad}
 
     return Optimizer(init, update)
 
@@ -153,16 +150,9 @@ def adam(lr: float = 1e-3, b1: float = 0.9, b2: float = 0.999,
             v = b2 * v + (1.0 - b2) * g * g
             return -step_size * m / (jnp.sqrt(v) + eps), m, v
 
-        flat_g, tdef = jax.tree_util.tree_flatten(grads)
-        flat_p = jax.tree_util.tree_leaves(params)
-        flat_m = jax.tree_util.tree_leaves(state["m"])
-        flat_v = jax.tree_util.tree_leaves(state["v"])
-        outs = [one(g, p, m, v)
-                for g, p, m, v in zip(flat_g, flat_p, flat_m, flat_v)]
-        return (tdef.unflatten([o[0] for o in outs]),
-                {"step": step,
-                 "m": tdef.unflatten([o[1] for o in outs]),
-                 "v": tdef.unflatten([o[2] for o in outs])})
+        updates, m, v = _map_split(one, 3, grads, params,
+                                   state["m"], state["v"])
+        return updates, {"step": step, "m": m, "v": v}
 
     return Optimizer(init, update)
 
@@ -187,16 +177,9 @@ def adamax(lr: float = 2e-3, b1: float = 0.9, b2: float = 0.999,
             u = jnp.maximum(b2 * u, jnp.abs(g) + eps)
             return -step_size * m / u, m, u
 
-        flat_g, tdef = jax.tree_util.tree_flatten(grads)
-        flat_p = jax.tree_util.tree_leaves(params)
-        flat_m = jax.tree_util.tree_leaves(state["m"])
-        flat_u = jax.tree_util.tree_leaves(state["u"])
-        outs = [one(g, p, m, u)
-                for g, p, m, u in zip(flat_g, flat_p, flat_m, flat_u)]
-        return (tdef.unflatten([o[0] for o in outs]),
-                {"step": step,
-                 "m": tdef.unflatten([o[1] for o in outs]),
-                 "u": tdef.unflatten([o[2] for o in outs])})
+        updates, m, u = _map_split(one, 3, grads, params,
+                                   state["m"], state["u"])
+        return updates, {"step": step, "m": m, "u": u}
 
     return Optimizer(init, update)
 
@@ -215,12 +198,8 @@ def rmsprop(lr: float = 1e-2, alpha: float = 0.99, eps: float = 1e-8,
             ms = alpha * ms + (1.0 - alpha) * g * g
             return -lr * g / (jnp.sqrt(ms) + eps), ms
 
-        flat_g, tdef = jax.tree_util.tree_flatten(grads)
-        flat_p = jax.tree_util.tree_leaves(params)
-        flat_ms = jax.tree_util.tree_leaves(state["ms"])
-        outs = [one(g, p, ms) for g, p, ms in zip(flat_g, flat_p, flat_ms)]
-        return (tdef.unflatten([o[0] for o in outs]),
-                {"ms": tdef.unflatten([o[1] for o in outs])})
+        updates, ms = _map_split(one, 2, grads, params, state["ms"])
+        return updates, {"ms": ms}
 
     return Optimizer(init, update)
 

@@ -26,9 +26,14 @@ def make_mesh(data: int = 0, model: int = 1,
     n = len(devices)
     if model < 1:
         model = 1
+    if model > n:
+        raise ValueError(
+            f"model axis {model} exceeds the {n} available devices")
     if data <= 0:
         data = n // model
-    assert data * model <= n, (data, model, n)
+    if data < 1 or data * model > n:
+        raise ValueError(
+            f"mesh ({data} data x {model} model) does not fit {n} devices")
     devs = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 

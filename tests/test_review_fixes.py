@@ -77,3 +77,36 @@ def test_pretrain_g_resume(tmp_path, key):
     # parameters differ from run 1 but share its lineage; the concrete check:
     # the run printed/loaded without error and produced a valid checkpoint
     assert "params" in tree2 and "state" in tree2
+
+
+def test_scan_image_paths_extension_matching(tmp_path):
+    """Filter matches the real '.jpg'/'.jpeg'/'.JPG' extension and rejects
+    non-extension suffixes like 'thumbsjpg' (round-2 review fix)."""
+    from ganreverser_tpu.data.dataset import scan_image_paths
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name in ("a.jpg", "b.JPG", "c.jpeg", "thumbsjpg", "d.png"):
+        (d / name).write_bytes(b"x")
+    found = {os.path.basename(p) for p in scan_image_paths([str(d)])}
+    assert found == {"a.jpg", "b.JPG", "c.jpeg"}
+
+
+def test_make_mesh_rejects_oversized_model_axis():
+    """model axis > device count errors immediately, not at first use."""
+    import pytest
+    from ganreverser_tpu import parallel as par
+    with pytest.raises(ValueError, match="model axis"):
+        par.make_mesh(data=0, model=1024)
+
+
+def test_resize_batch_preserves_negative_chroma():
+    """pretrain_prev's host resize keeps float range (no [0,1] clip /
+    uint8 quantization) — YUV chroma is negative (round-2 review fix)."""
+    from ganreverser_tpu.cli.pretrain_prev import _resize_batch
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-0.5, 0.5, (2, 8, 8, 3)).astype(np.float32)
+    out = _resize_batch(imgs, 16, 16)
+    assert out.shape == (2, 16, 16, 3)
+    assert out.min() < -0.05  # negative values survive
+    # identity when the geometry already matches
+    assert _resize_batch(imgs, 8, 8) is imgs
