@@ -89,7 +89,8 @@ def main(argv=None):
 
     dims, nd = (3, 64, 64), 100
     n_images = 10240
-    batch = 256  # fastest in the measured 256/512/1024/2048 sweep on v5e
+    batch = 128  # fastest in the measured 128..2048 chunk sweep on v5e
+    # (72.8k img/s vs 70.5k at 256 — RESULTS.md round 2)
     if backend == "cpu":
         # no TPU in this environment: shrink so the benchmark still
         # completes and reports (numbers are then CPU numbers, not the
