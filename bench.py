@@ -84,7 +84,7 @@ def main(argv=None):
     full = "--full" in (argv if argv is not None else sys.argv[1:])
     backend = _resolve_backend()
     from ganreverser_tpu import models as M
-    from ganreverser_tpu.analysis import cosine_topk, forward_batched
+    from ganreverser_tpu.analysis import forward_batched
     from ganreverser_tpu.core.prng import seed_key
 
     dims, nd = (3, 64, 64), 100

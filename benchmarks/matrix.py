@@ -5,10 +5,12 @@
   3. 10k-face batch inversion -> cosine top-k + kmeans-20 pipeline
   4. G∘R image fixing + anomaly detection over 10k faces
   5. 128x128 RGB, z=256 gradient-based latent optimization
+  6. (framework scale, beyond the reference schedule) b256 epoch-program
+     training rates in f32 and bf16
 
 Usage:
   python benchmarks/matrix.py                 # all configs
-  python benchmarks/matrix.py 1 3             # a subset
+  python benchmarks/matrix.py 1 3             # a subset (configs 1-6)
   python benchmarks/matrix.py 1 --cpu         # force the CPU backend
 
 Each config prints one JSON line: {"config": N, "metric": ..., "value": ...,
@@ -273,8 +275,13 @@ def main(argv=None):
         argv.remove("--cpu")
         import jax
         jax.config.update("jax_platforms", "cpu")
-    picks = [int(a) for a in argv] or sorted(CONFIGS)
-    for n in picks:
+    picks = []
+    for a in argv:
+        if not a.isdigit() or int(a) not in CONFIGS:
+            sys.exit(f"usage: matrix.py [{' '.join(map(str, CONFIGS))}] "
+                     f"[--cpu]  (got {a!r})")
+        picks.append(int(a))
+    for n in picks or sorted(CONFIGS):
         CONFIGS[n]()
 
 

@@ -40,14 +40,20 @@ def _max_err_device(fa, fb, x):
     return float(jax.device_get(err(x)))
 
 
-def _emit(kernel, shape, pallas_s, xla_s, max_err, **extra):
+def _emit(kernel, shape, pallas_s, xla_s, max_err, tol=None, **extra):
     rec = {"kernel": kernel, "shape": shape,
            "pallas_ms": round(pallas_s * 1e3, 3),
            "xla_ms": round(xla_s * 1e3, 3),
            "speedup": round(xla_s / pallas_s, 3),
            "max_err": float(max_err)}
+    if tol is not None:
+        rec["ok"] = bool(max_err <= tol)
     rec.update(extra)
     print(json.dumps(rec), flush=True)
+    # the docstring's promise: this script ASSERTS parity, so a compiled
+    # kernel that computes garbage can't be adopted on its timing alone
+    if tol is not None:
+        assert max_err <= tol, (kernel, shape, float(max_err), tol)
 
 
 def check_upsample_stages(n=256):
@@ -65,8 +71,9 @@ def check_upsample_stages(n=256):
                     flush=True)
 
 
-def check_upsample(tile_n=4, n=256, h=32, w=32, ci=512, co=256):
-    """G's hot stage 1 (512->256 @32->64) by default."""
+def check_upsample(tile_n=2, n=256, h=16, w=16, ci=512, co=256):
+    """Defaults to G's REAL stage 1 at the 64x64 flagship: 512->256
+    @16->32 (stage 2 is 256->128 @32->64 — see check_upsample_stages)."""
     from ganreverser_tpu.ops.upsample_conv_kernel import (
         upsample2_conv3x3_bn_act)
     from ganreverser_tpu.ops.upsample_conv import upsample2_conv3x3_reference
@@ -92,7 +99,7 @@ def check_upsample(tile_n=4, n=256, h=32, w=32, ci=512, co=256):
     tp = _time_best(pallas, x)
     tx = _time_best(ref, x)
     _emit("upsample2_conv3x3_bn_relu", f"{n}x{h}x{w}x{ci}->{co}", tp, tx,
-          err, tile_n=tile_n)
+          err, tol=0.5, tile_n=tile_n)  # bf16, |acts| up to ~30
 
 
 def check_conv_block(tile_n=2, n=128, h=64, w=64, chans=(3, 64, 64, 64),
@@ -139,7 +146,8 @@ def check_conv_block(tile_n=2, n=128, h=64, w=64, chans=(3, 64, 64, 64),
     tp = _time_best(pallas, x)
     tx = _time_best(ref, x)
     _emit("conv_block_bn_elu" + ("_pool" if pool else ""),
-          f"{n}x{h}x{w} chans={list(chans)}", tp, tx, err, tile_n=tile_n)
+          f"{n}x{h}x{w} chans={list(chans)}", tp, tx, err, tol=0.02,
+          tile_n=tile_n)
 
 
 def check_conv3x3(tile_n=2, n=128, h=64, w=64, ci=64, co=64):
@@ -169,14 +177,14 @@ def check_conv3x3(tile_n=2, n=128, h=64, w=64, ci=64, co=64):
     tp = _time_best(pallas, x)
     tx = _time_best(ref, x)
     _emit("conv3x3_bn_relu", f"{n}x{h}x{w}x{ci}->{co}", tp, tx, err,
-          tile_n=tile_n)
+          tol=0.05, tile_n=tile_n)
 
 
-def check_upsample_xla(n=256, h=32, w=32, ci=512, co=256):
+def check_upsample_xla(n=256, h=16, w=16, ci=512, co=256):
     """Pure-XLA upsample+conv formulations (no Mosaic — runs even when the
-    tunnel's remote compile helper rejects Pallas payloads). Times G's hot
-    stage 1 three ways: naive repeat+conv, explicit phase shuffle, and the
-    lhs-dilated single conv."""
+    tunnel's remote compile helper rejects Pallas payloads), at G's real
+    stage-1 shape by default: naive repeat+conv, explicit phase shuffle,
+    and the lhs-dilated single conv."""
     from ganreverser_tpu.ops.upsample_conv import (
         upsample2_conv3x3, upsample2_conv3x3_dilated,
         upsample2_conv3x3_reference)
@@ -198,7 +206,8 @@ def check_upsample_xla(n=256, h=32, w=32, ci=512, co=256):
     for name, fn in (("phase_shuffle", shuffle), ("lhs_dilated", dilated)):
         err = _max_err_device(fn, naive, x)
         tv = _time_best(fn, x)
-        _emit(f"upsample_xla_{name}", f"{n}x{h}x{w}x{ci}->{co}", tv, tn, err)
+        _emit(f"upsample_xla_{name}", f"{n}x{h}x{w}x{ci}->{co}", tv, tn,
+              err, tol=0.25)
 
 
 def check_conv_block_stages(n=256):

@@ -132,12 +132,8 @@ def test_refiner_improves_loss(key):
     G = M.create_G((1, 8, 8), 4)
     gv, _ = G.init(jax.random.fold_in(key, 0), (4,))
     z_true = noise_inputs(jax.random.fold_in(key, 1), 4, 4, "normal")
-    images, _ = G.apply(gv, z_true, train=True, rng=key)  # train-mode: varied
     z0 = jnp.zeros_like(z_true)
     refine = A.make_refiner(G, steps=50, lr=0.1)
-
-    # loss of z0 for comparison — same train-mode stats not available in
-    # eval; compare in eval mode consistently
     images_eval, _ = G.apply(gv, z_true, train=False)
     z, final_loss = refine(gv, images_eval, z0)
     out0, _ = G.apply(gv, z0, train=False)

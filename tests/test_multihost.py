@@ -18,6 +18,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _communicate_all(procs, timeout):
+    """communicate() every rank; on timeout/error KILL the rest — an
+    orphaned jax.distributed rank would hold its port and a core on this
+    1-core host and wedge everything after it."""
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return outs
+
+
 def test_two_process_train_cli(tmp_path):
     """The real train CLI across 2 processes: --coordinator_address flags,
     host-local loading (process_slice), global batch assembly, multi-process
@@ -41,7 +57,7 @@ def test_two_process_train_cli(tmp_path):
         + args + ["--process_id", str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=env) for pid in range(2)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = _communicate_all(procs, 600)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
     assert "joined distributed runtime: process" in outs[0]
@@ -71,7 +87,7 @@ def test_two_process_tp_train_and_save(tmp_path):
         + args + ["--process_id", str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=env) for pid in range(2)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = _communicate_all(procs, 600)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
     assert os.path.isfile(os.path.join(save, "adversarial", "manifest.json"))
@@ -93,10 +109,7 @@ def test_two_process_dp_step():
         [sys.executable, WORKER, str(pid), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=env) for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    outs = _communicate_all(procs, 300)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
     losses = {}

@@ -158,8 +158,9 @@ def test_g_step_preserves_tp_output_sharding(key):
 
 
 def test_dp_r_train_step(key):
-    """A full R train step jits and runs with replicated params —
-    the dryrun_multichip core."""
+    """A full R train step jits and runs DATA-PARALLEL over the mesh
+    (mesh= passed, like the train CLI and dryrun_multichip) — without
+    mesh= the step compiles replicated and exercises no DP at all."""
     G = M.create_G((1, 8, 8), 8)
     R = M.create_R((1, 8, 8), 8, "normal")
     g_vars, _ = G.init(jax.random.fold_in(key, 1), (8,))
@@ -168,6 +169,7 @@ def test_dp_r_train_step(key):
     g_vars = par.replicate(g_vars, mesh)
     ts = T.TrainState.create(par.replicate(r_vars, mesh), O.adam())
     step = T.make_r_train_step(G, R, batch_size=16, noise_dim=8,
-                               noise_method="normal", donate=False)
+                               noise_method="normal", donate=False,
+                               mesh=mesh)
     ts2, loss = step(g_vars, ts, seed_key(9))
     assert np.isfinite(float(loss))

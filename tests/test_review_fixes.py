@@ -71,12 +71,17 @@ def test_pretrain_g_resume(tmp_path, key):
     pretrain_g.main(args)
     ck = os.path.join(save, "g_pretrained_1x8x8_nd8")
     tree1, _, _ = gio.load_checkpoint(ck)
-    pretrain_g.main(args + ["--network", ck])
+    # run 2 resumes from run 1's decoder with a DIFFERENT seed: a working
+    # --network means tree2 = tree1 + one small adam epoch (max drift
+    # ~1e-3); a broken resume would re-init from seed 123 and land far
+    # from tree1 (heuristic-init scale ~0.1)
+    pretrain_g.main(args + ["--network", ck, "--seed", "123"])
     tree2, _, _ = gio.load_checkpoint(ck)
-    # second run started from the first run's decoder and trained further —
-    # parameters differ from run 1 but share its lineage; the concrete check:
-    # the run printed/loaded without error and produced a valid checkpoint
-    assert "params" in tree2 and "state" in tree2
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a, np.float32)
+                                         - np.asarray(b, np.float32)))),
+        tree1["params"], tree2["params"])
+    assert max(jax.tree_util.tree_leaves(diffs)) < 0.05, diffs
 
 
 def test_scan_image_paths_extension_matching(tmp_path):
