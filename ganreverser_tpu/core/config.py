@@ -166,7 +166,7 @@ class ApplyConfig(Config):
     seed: int = _f(1, "RNG seed")
     refine_steps: int = _f(0, "gradient-based latent refinement steps (new; 0 = off)")
     refine_lr: float = _f(0.05, "refinement learning rate (adam on z)")
-    pallas: bool = _f(False, "route kmeans, cosine search, AND the G/R forwards through the fused Pallas kernels (ops/, models/fastpath.py). Intended for TPU — off-TPU the kernels run in the (very slow) interpreter")
+    pallas: bool = _f(False, "use the measured-fastest optimized paths: folded-BN + lhs-dilated fast G decoder (models/fastpath.py) and the fused Pallas kmeans/cosine-search kernels (ops/). Intended for TPU — off-TPU the kmeans/top-k kernels run in the (very slow) interpreter; ignored for the kernel sections under --mesh_data>1")
     mesh_data: int = _f(1, "shard the N-axis of generation/inversion/search over this many devices (SURVEY.md §5.7 large-N path)")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
 
