@@ -63,7 +63,11 @@ def config1():
 
     z = jax.random.normal(jax.random.fold_in(key, 3), (64, 32))
     t = _time_best(invert, gv, rv, z)
-    _emit(1, "G+R inversion 1x32x32 z=32 b64", 64 / t, "img/s")
+    _emit(1, "G+R inversion 1x32x32 z=32 b64", 64 / t, "img/s",
+          note="single dispatch — latency-bound on the ~28ms tunnel RTT")
+    from ganreverser_tpu.utils.timing import time_amortized
+    ta = time_amortized(lambda z: invert(gv, rv, z), z)
+    _emit(1, "G+R inversion 1x32x32 z=32 b64 (amortized)", 64 / ta, "img/s")
 
 
 def config2():
