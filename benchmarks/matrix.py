@@ -244,6 +244,16 @@ def config5():
     _emit(5, f"latent refinement 3x128x128 z=256 b{batch} x{steps} steps",
           batch * steps / t, "img-steps/s")
 
+    # eval G-generate rate at the 128x128 geometry (completes the G perf
+    # story beyond the 64x64 flagship)
+    from ganreverser_tpu.analysis import forward_batched
+    n = 2048
+    z = jax.random.normal(jax.random.fold_in(key, 3), (n, nd))
+    gen = jax.jit(lambda gv, z: forward_batched(
+        lambda b: G.apply(gv, b, train=False)[0], z, 128))
+    t = _time_best(gen, gv, z)
+    _emit(5, "G-generate 3x128x128 z=256 (module path)", n / t, "img/s")
+
 
 def config6():
     """Training at production scale (framework measurement, not a reference

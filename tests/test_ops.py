@@ -204,6 +204,40 @@ def test_bf16_conv_grads_work_and_match_f32(key):
         assert float(jnp.max(jnp.abs(flat16 - flat32))) / denom < 0.1
 
 
+def test_conv_f32acc_vjp_matches_finite_differences(key):
+    """The custom backward of ops/precision.py::conv_f32acc checked against
+    central finite differences — independent of JAX's own conv transpose,
+    covering both the plain-SAME and the lhs-dilated (upsample) cases."""
+    from ganreverser_tpu.ops.precision import conv_f32acc
+    cases = [
+        dict(strides=(1, 1), padding="SAME", lhs_dilation=None),
+        dict(strides=(1, 1), padding=((2, 2), (2, 2)), lhs_dilation=(2, 2)),
+    ]
+    for case in cases:
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 7), 3)
+        x = jax.random.normal(k1, (1, 4, 4, 2))
+        w = jax.random.normal(k2, (3, 3, 2, 3)) * 0.5
+
+        def loss(x, w):
+            y = conv_f32acc(x, w, case["strides"], case["padding"],
+                            case["lhs_dilation"], ("NHWC", "HWIO", "NHWC"))
+            # fixed random projection -> scalar (probes all outputs)
+            proj = jax.random.normal(k3, y.shape)
+            return jnp.sum(y * proj)
+
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        eps = 1e-3
+        for g, arg, idx in ((gx, 0, (0, 1, 2, 1)), (gw, 1, (1, 0, 1, 2))):
+            args = [x, w]
+            plus = [a.at[idx].add(eps) if i == arg else a
+                    for i, a in enumerate(args)]
+            minus = [a.at[idx].add(-eps) if i == arg else a
+                     for i, a in enumerate(args)]
+            fd = (loss(*plus) - loss(*minus)) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), float(fd),
+                                       rtol=2e-3, atol=2e-3)
+
+
 def test_fast_generator_xla_matches_G_f32(key):
     """models/fastpath.make_fast_generator_xla (BN folded + lhs-dilated
     upsample conv, pure XLA) == create_G3.apply(train=False), f32 tight."""
