@@ -50,16 +50,30 @@ def _auto_interpret(interpret):
     return interpret
 
 
+def auto_tile(tile_n: int, d: int, itemsize: int,
+              budget: int = 8 << 20) -> int:
+    """Shrink the corpus tile so one (tile, D) block stays under ``budget``
+    bytes. The fixed 512 default blew scoped VMEM on PIXEL similarity
+    (apply_r's second search axis: D = H*W*C = 12288 at 64x64 RGB ->
+    12.6MB/block, >16MB double-buffered — found live on TPU, round 2)."""
+    max_rows = max(1, budget // max(1, d * itemsize))
+    t = min(tile_n, max_rows)
+    return max(128, (t // 128) * 128) if t >= 128 else t
+
+
 def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
                          *, tile_n: int = 512,
                          interpret=None) -> jax.Array:
-    """(Q, N) cosine scores. N must be a multiple of tile_n (pad upstream).
+    """(Q, N) cosine scores. N must be a multiple of the EFFECTIVE tile
+    (auto_tile(tile_n, D, itemsize); pad upstream — cosine_topk_pallas
+    does).
 
     NOTE: normalization clamps ||e||^2 at EPS^2 (the lax path clamps ||e||
     at EPS) — identical behavior for all non-degenerate rows.
     """
     interpret = _auto_interpret(interpret)
     n, d = embeddings.shape
+    tile_n = auto_tile(tile_n, d, embeddings.dtype.itemsize)
     needles = jnp.take(embeddings, needle_idx, axis=0)
     q = needles.shape[0]
     assert n % tile_n == 0, (n, tile_n)
@@ -78,14 +92,17 @@ def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(needles, embeddings)
 
 
 def cosine_topk_pallas(embeddings: jax.Array, needle_idx: jax.Array, k: int,
                        *, tile_n: int = 512, interpret=None):
     """Fused-kernel variant of analysis.similarity.cosine_topk; pads N up to
-    a tile multiple with -inf masking."""
+    a tile multiple with zero rows (masked out by taking only [:n])."""
     n, d = embeddings.shape
+    tile_n = auto_tile(tile_n, d, embeddings.dtype.itemsize)
     pad = (-n) % tile_n
     if pad:
         embeddings = jnp.concatenate(

@@ -119,3 +119,22 @@ def test_kmeans_step_kernel_empty_cluster(key):
                                        interpret=True)
     assert float(counts[1]) == 0.0
     np.testing.assert_allclose(np.asarray(new_c[1]), 1e6)
+
+
+def test_cosine_topk_pixel_dim_auto_tile(key):
+    """PIXEL-similarity shapes (D = H*W*C = 12288 at 64x64 RGB) must not
+    blow the per-block VMEM budget: auto_tile shrinks the corpus tile
+    (found live on TPU — apply_r --pallas crashed at the pixel search)."""
+    from ganreverser_tpu.ops.topk_kernel import auto_tile, cosine_topk_pallas
+    from ganreverser_tpu.analysis import cosine_topk
+    # tile shrinks for big D, stays put for latent-sized D
+    assert auto_tile(512, 12288, 2) <= (8 << 20) // (12288 * 2) + 127
+    assert auto_tile(512, 12288, 2) % 128 == 0
+    assert auto_tile(512, 100, 4) == 512
+    emb = jax.random.normal(key, (256, 12288), jnp.float32)
+    needles = jnp.array([0, 100])
+    v_pal, i_pal = cosine_topk_pallas(emb, needles, 5, interpret=True)
+    v_lax, i_lax = cosine_topk(emb, needles, 5)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_lax))
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_lax),
+                               rtol=1e-5, atol=1e-5)
