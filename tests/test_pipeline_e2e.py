@@ -180,3 +180,42 @@ def test_pretrainers(workdir, trained_gan):
                 "--batchSize", "8", "--noiseDim", "12", "--saveFreq", "1",
                 "--colorSpace", "rgb", "--height", "8", "--width", "8",
                 "--dataset", "synthetic"])
+
+
+def test_uniform_noise_pipeline(workdir):
+    """The uniform-noise mode end to end (train.lua --noiseMethod uniform):
+    G trains on U(-1,1) z, R gets the Tanh head (models.lua:452-454), and
+    the whole train -> train_r -> apply_r chain holds together. Recovered
+    latents must respect the Tanh bound."""
+    from ganreverser_tpu.cli import train, train_r, apply_r
+    from ganreverser_tpu import io as gio
+    save = os.path.join(workdir, "logs_uniform")
+    train.main(["--save", save, "--epochs", "1", "--N_epoch", "2",
+                "--batchSize", "8", "--noiseDim", "8", "--saveFreq", "1",
+                "--noiseMethod", "uniform", "--nopretraining"] + GEOM)
+    g_ckpt = os.path.join(save, "adversarial")
+    train_r.main(["--save", save, "--G", g_ckpt, "--nbBatches", "5",
+                  "--batchSize", "8", "--saveFreq", "5",
+                  "--dataset", "synthetic"])
+    r_ckpt = os.path.join(save, "r_1x8x8_nd8_uniform")
+    assert os.path.isfile(os.path.join(r_ckpt, "manifest.json"))
+    # checkpoint carries the inherited noiseMethod (train_r.lua:71-75)
+    _, r_cfg, _ = gio.load_checkpoint(r_ckpt)
+    assert r_cfg["noiseMethod"] == "uniform"
+
+    out = os.path.join(workdir, "apply_uniform")
+    apply_r.main(["--save", save, "--G", g_ckpt, "--writeto", out,
+                  "--N", "250", "--clusters", "3", "--kmeans_iters", "2",
+                  "--needles", "2", "--anomalies_n", "64",
+                  "--batchSize", "32"])
+    assert os.path.isfile(os.path.join(out, "variations.jpg"))
+
+    # the Tanh head bounds recovered latents to [-1, 1]
+    import jax, jax.numpy as jnp
+    from ganreverser_tpu import models as M
+    r_tree, _, _ = gio.load_checkpoint(r_ckpt)
+    R = M.create_R((1, 8, 8), 8, "uniform")
+    rv = {"params": r_tree["R"]["params"], "state": r_tree["R"]["state"]}
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 8, 8, 1))
+    z, _ = R.apply(rv, x, train=False)
+    assert float(jnp.max(jnp.abs(z))) <= 1.0
