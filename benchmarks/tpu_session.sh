@@ -26,4 +26,21 @@ run bench        2400 python bench.py
 run bench_full   3600 python bench.py --full
 # 4. the six-config matrix (training rates, inversion pipeline, refinement)
 run matrix       7200 python benchmarks/matrix.py
+# 5. production pipeline ON HARDWARE at the flagship geometry (bf16):
+#    round 2 proved this catches bugs CPU interpret tests cannot (the
+#    pixel-similarity VMEM blowout) — keep it in every session
+E2E=/tmp/tpu_session_e2e; rm -rf "$E2E"
+run e2e_train    1800 python -m ganreverser_tpu.cli.train \
+  --dataset synthetic --save "$E2E/logs" --epochs 2 --N_epoch 5 \
+  --batchSize 32 --noiseDim 100 --saveFreq 1 --colorSpace rgb \
+  --height 64 --width 64 --compute_dtype bfloat16
+run e2e_train_r  1800 python -m ganreverser_tpu.cli.train_r \
+  --G "$E2E/logs/adversarial" --save "$E2E/logs" --nbBatches 50 \
+  --batchSize 32 --saveFreq 50 --dataset synthetic \
+  --compute_dtype bfloat16
+run e2e_apply    2400 python -m ganreverser_tpu.cli.apply_r \
+  --G "$E2E/logs/adversarial" --save "$E2E/logs" \
+  --writeto "$E2E/apply_out" --N 2048 --clusters 4 --kmeans_iters 5 \
+  --needles 2 --anomalies_n 256 --batchSize 256 --refine_steps 5 \
+  --pallas --compute_dtype bfloat16
 echo done
