@@ -53,12 +53,17 @@ def _auto_interpret(interpret):
 def auto_tile(tile_n: int, d: int, itemsize: int,
               budget: int = 8 << 20) -> int:
     """Shrink the corpus tile so one (tile, D) block stays under ``budget``
-    bytes. The fixed 512 default blew scoped VMEM on PIXEL similarity
+    bytes, never below 128 rows (sub-128 tiles put block boundaries off
+    the (8,128) native tiling and Mosaic rejects the layout on real
+    hardware). The fixed 512 default blew scoped VMEM on PIXEL similarity
     (apply_r's second search axis: D = H*W*C = 12288 at 64x64 RGB ->
-    12.6MB/block, >16MB double-buffered — found live on TPU, round 2)."""
-    max_rows = max(1, budget // max(1, d * itemsize))
-    t = min(tile_n, max_rows)
-    return max(128, (t // 128) * 128) if t >= 128 else t
+    12.6MB/block, >16MB double-buffered — found live on TPU, round 2).
+    Returns 0 when even a 128-row block exceeds the budget — callers fall
+    back to the lax path (which is ~parity anyway, RESULTS.md)."""
+    max_rows = budget // max(1, d * itemsize)
+    if max_rows < 128:
+        return 0
+    return min(tile_n, (max_rows // 128) * 128)
 
 
 def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
@@ -74,6 +79,9 @@ def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
     interpret = _auto_interpret(interpret)
     n, d = embeddings.shape
     tile_n = auto_tile(tile_n, d, embeddings.dtype.itemsize)
+    if tile_n == 0:  # D too wide for a 128-row block: lax path
+        from ..analysis.similarity import cosine_scores
+        return cosine_scores(embeddings, needle_idx)
     needles = jnp.take(embeddings, needle_idx, axis=0)
     q = needles.shape[0]
     assert n % tile_n == 0, (n, tile_n)
@@ -92,6 +100,9 @@ def cosine_scores_pallas(embeddings: jax.Array, needle_idx: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
         interpret=interpret,
+        # raised from the conservative 16MB compiler default; v5e has
+        # 128MB physical VMEM (same rationale as the conv kernels) — the
+        # 8MB/block auto_tile budget keeps actual usage far below this
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(needles, embeddings)
@@ -103,6 +114,9 @@ def cosine_topk_pallas(embeddings: jax.Array, needle_idx: jax.Array, k: int,
     a tile multiple with zero rows (masked out by taking only [:n])."""
     n, d = embeddings.shape
     tile_n = auto_tile(tile_n, d, embeddings.dtype.itemsize)
+    if tile_n == 0:  # D too wide for a 128-row block: lax path
+        from ..analysis.similarity import cosine_topk
+        return cosine_topk(embeddings, needle_idx, k)
     pad = (-n) % tile_n
     if pad:
         embeddings = jnp.concatenate(

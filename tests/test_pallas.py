@@ -127,10 +127,17 @@ def test_cosine_topk_pixel_dim_auto_tile(key):
     (found live on TPU — apply_r --pallas crashed at the pixel search)."""
     from ganreverser_tpu.ops.topk_kernel import auto_tile, cosine_topk_pallas
     from ganreverser_tpu.analysis import cosine_topk
-    # tile shrinks for big D, stays put for latent-sized D
-    assert auto_tile(512, 12288, 2) <= (8 << 20) // (12288 * 2) + 127
-    assert auto_tile(512, 12288, 2) % 128 == 0
+    # tile shrinks (in 128-row steps) for big D, stays put for latent D,
+    # and signals lax-fallback (0) when even 128 rows exceed the budget
+    assert auto_tile(512, 12288, 2) == 256
     assert auto_tile(512, 100, 4) == 512
+    assert auto_tile(512, 49152, 2) == 0   # 128x128 RGB pixel similarity
+    # the fallback path must produce lax results verbatim
+    wide = jax.random.normal(jax.random.fold_in(key, 9), (32, 49152),
+                             jnp.float32)
+    vf, jf = cosine_topk_pallas(wide, jnp.array([0, 3]), 4, interpret=True)
+    vl, jl = cosine_topk(wide, jnp.array([0, 3]), 4)
+    np.testing.assert_array_equal(np.asarray(jf), np.asarray(jl))
     emb = jax.random.normal(key, (256, 12288), jnp.float32)
     needles = jnp.array([0, 100])
     v_pal, i_pal = cosine_topk_pallas(emb, needles, 5, interpret=True)
