@@ -222,11 +222,31 @@ def main(argv=None):
           f"({n_needles} needles x {n_images} embeddings)", file=sys.stderr)
 
     if full:
-        # true end-to-end rate: generate -> invert -> top-k answers for all
-        # N (the VERDICT r1 note that G bounds the real pipeline)
-        t_e2e = t_gen + t_inv + t_topk * (n_images / n_needles)
-        print(f"[bench] end-to-end generate+invert+top-k: "
-              f"{n_images / t_e2e:,.0f} img/s", file=sys.stderr)
+        # MEASURED end-to-end rate — generate -> invert -> top-k answers
+        # for all N as ONE jitted fused program (analysis/e2e.py): the G→R
+        # chunk scan never materializes the full image tensor in HBM.
+        # The serial sum (three separately-timed dispatches) is printed
+        # alongside so the fusion win is itself measured, not derived.
+        from ganreverser_tpu.analysis.e2e import (make_e2e_program,
+                                                  make_serial_programs)
+        _, _, search = make_serial_programs(G, R, batch_size=batch, k=100)
+        t_search = _time_best(search, emb)
+        serial_sum = t_gen + t_inv + t_search
+        print(f"[bench] top-k all-N (measured leg): {t_search*1e3:.1f} ms; "
+              f"serial sum gen+inv+search: {n_images / serial_sum:,.0f} "
+              f"img/s", file=sys.stderr)
+        try:
+            e2e = make_e2e_program(G, R, batch_size=batch, k=100)
+            t_e2e = _time_best(e2e, g_vars, r_vars, z)
+            verdict = ("fused wins" if t_e2e < serial_sum
+                       else "serial wins")
+            print(f"[bench] end-to-end generate+invert+top-k (MEASURED, "
+                  f"one fused program): {n_images / t_e2e:,.0f} img/s "
+                  f"({t_e2e*1e3:.1f} ms vs serial {serial_sum*1e3:.1f} ms "
+                  f"— {verdict})", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — report, keep headline
+            print(f"[bench] fused e2e program failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
 
     print(json.dumps({
         "metric": (f"R-inversion images/sec/chip @64x64 (bf16, batch "

@@ -239,7 +239,43 @@ def check_upsample_xla_stages(n=256):
                 flush=True)
 
 
+def check_pixel_topk(n=10240, hwc=(64, 64, 3), q=256, k=100):
+    """The wide-D pixel-similarity search (apply_r.lua:307-314; D=12288 at
+    the flagship geometry) — the one shape where lax.top_k's full per-row
+    sort plausibly dominates (VERDICT r2 item 8). Compares the production
+    lax path against the exact two-pass tiled selection at several tile
+    sizes, plus scoring alone so the selection share is visible."""
+    from ganreverser_tpu.analysis.similarity import (cosine_scores,
+                                                     pixel_cosine_topk)
+    from ganreverser_tpu.ops.tiled_topk import pixel_cosine_topk_tiled
+    key = jax.random.PRNGKey(7)
+    images = jax.random.uniform(key, (n,) + hwc, jnp.bfloat16)
+    needles = jnp.arange(q)
+    d = int(np.prod(hwc))
+
+    score_only = jax.jit(
+        lambda x: cosine_scores(x.reshape(n, -1), needles))
+    t_score = _time_best(score_only, images)
+
+    full = jax.jit(lambda x: pixel_cosine_topk(x, needles, k))
+    t_full = _time_best(full, images)
+    _emit("pixel_topk_scores_only", f"{n}xD{d} q{q}", t_score, t_full, 0.0,
+          note="xla_ms here = full lax path (score+full-sort top_k)")
+
+    for tile in (512, 1024, 2048):
+        tiled = jax.jit(lambda x, t=tile: pixel_cosine_topk_tiled(
+            x, needles, k, tile=t))
+        # parity on the VALUES (ties may legally reorder indices)
+        err = _max_err_device(lambda x, t=tile: pixel_cosine_topk_tiled(
+            x, needles, k, tile=t)[0],
+            lambda x: pixel_cosine_topk(x, needles, k)[0], images)
+        t_tiled = _time_best(tiled, images)
+        _emit(f"pixel_topk_tiled_{tile}", f"{n}xD{d} q{q} k{k}", t_tiled,
+              t_full, err, tol=1e-5)
+
+
 CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
+          "pixel_topk": check_pixel_topk,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
           "conv_block_stages": check_conv_block_stages,

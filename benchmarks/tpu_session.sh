@@ -15,17 +15,20 @@ run() { # run <tag> <timeout_s> <cmd...>
 
 # 0. is Mosaic healthy on this tunnel? (separates infra from kernel bugs)
 run probe        600  python benchmarks/tpu_pallas_probe.py
-# 1. kernel tile sweeps at the real flagship shapes, amortized timings
-run up_stages    1800 python benchmarks/tpu_kernel_check.py upsample_stages
-run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages
-run upxla_stages 1200 python benchmarks/tpu_kernel_check.py upsample_xla_stages
-run conv3x3      1200 python benchmarks/tpu_kernel_check.py conv3x3
+# 1. round-3 priority: the wide-D pixel-similarity selection shot
+#    (VERDICT r2 item 8) and the training-step roofline (item 3)
+run pixel_topk   1800 python benchmarks/tpu_kernel_check.py pixel_topk
+run roofline     3600 python benchmarks/roofline.py
+run roofline_f32 3600 python benchmarks/roofline.py --f32
 # 2. headline bench (R inversion; picks the faster parity-tested path)
 run bench        2400 python bench.py
-# 3. full bench: all G legs + end-to-end rate
+# 3. full bench: all G legs + the MEASURED fused e2e program (item 2)
 run bench_full   3600 python bench.py --full
 # 4. the six-config matrix (training rates, inversion pipeline, refinement)
 run matrix       7200 python benchmarks/matrix.py
+# 5b. kernel tile sweeps (round-2 parity maintenance — keep, cheaper now)
+run up_stages    1800 python benchmarks/tpu_kernel_check.py upsample_stages
+run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages
 # 5. production pipeline ON HARDWARE at the flagship geometry (bf16):
 #    round 2 proved this catches bugs CPU interpret tests cannot (the
 #    pixel-similarity VMEM blowout) — keep it in every session

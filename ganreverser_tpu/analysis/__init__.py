@@ -5,6 +5,7 @@ from .kmeans import (assign_euclidean, assign_min_cosine, cluster_members,
                      kmeans)
 from .pipeline import (anomaly_scores, anomaly_threshold, detect_anomalies,
                        fix_images, generate_and_invert, variation_sweep)
+from .e2e import make_e2e_program, make_serial_programs, topk_all
 from .refine import make_refiner
 from .distributed import (distributed_cosine_topk,
                           distributed_generate_and_invert)

@@ -95,25 +95,38 @@ def main(argv=None):
 
     # --- ② generate N + invert (apply_r.lua:143-153) ---
     print("Generating images...")
-    # Pallas kernels have no SPMD partitioning rule — under a data mesh the
+    # Pallas kernels have no SPMD partitioning rule — under a mesh the
     # analysis sections stay on the (sharding-aware) lax paths
-    use_pallas_kernels = cfg.pallas and cfg.mesh_data <= 1
-    if cfg.pallas and cfg.mesh_data > 1:
-        print("[apply_r] note: --pallas kernels are skipped under "
-              "--mesh_data>1 (sharded arrays use the lax paths)",
-              file=sys.stderr)
-    if cfg.mesh_data > 1:
-        # shard the N axis over the mesh (SURVEY.md §5.7); params replicated
+    use_mesh = cfg.mesh_data > 1 or cfg.mesh_model > 1
+    use_pallas_kernels = cfg.pallas and not use_mesh
+    if cfg.pallas and use_mesh:
+        print("[apply_r] note: the entire --pallas fast path (fused G "
+              "decoder AND the kmeans/top-k kernels) is bypassed under "
+              "--mesh_data/--mesh_model>1 — sharded arrays use the "
+              "lax/module paths", file=sys.stderr)
+    if use_mesh:
+        # N axis sharded over 'data' (SURVEY.md §5.7); with --mesh_model>1
+        # the big Dense kernels (G's z->feature-map Linear, R's head) are
+        # additionally TP-sharded over 'model' — the 128x128/z=256 workload
+        # of BASELINE config 5 (SURVEY.md §7 step 6); XLA inserts the ICI
+        # collectives from the parameter shardings
         from .. import parallel as par
-        mesh = par.make_mesh(data=cfg.mesh_data)
-        g_vars = par.replicate(g_vars, mesh)
-        r_vars = par.replicate(r_vars, mesh)
+        mesh = par.make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+
+        def place(v):
+            if cfg.mesh_model > 1:
+                return {"params": par.shard_params(v["params"], mesh),
+                        "state": par.replicate(v["state"], mesh)}
+            return par.replicate(v, mesh)
+
+        g_vars = place(g_vars)
+        r_vars = place(r_vars)
         noise, images, attributes = A.distributed_generate_and_invert(
             G, R, g_vars, r_vars, n=cfg.N, noise_dim=noise_dim,
             noise_method=noise_method, key=jax.random.fold_in(key, 2),
             mesh=mesh)
         if R_fixer is not None:
-            rf_vars = par.replicate(rf_vars, mesh)
+            rf_vars = place(rf_vars)
 
             @jax.jit
             def rf_fwd(v, x):

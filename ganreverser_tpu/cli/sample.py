@@ -1,10 +1,17 @@
 """Offline sampling/eval CLI — sample.lua.
 
-Per run (sample.lua:68-125): a grid of 64 training images, 1024 G samples
-(saved as 256- and 1024-image grids), the 64 best/worst/random samples by
-D's score, and optionally (--neighbours) the L2-nearest training neighbours
-of the 16 best samples — the latter as one on-device distance matmul instead
-of the reference's O(16*N_train) host loop (sample.lua:130-148).
+Per run (sample.lua:68-125, repeated ``--runs`` times with run-stamped
+filenames like the reference's '%04d' patterns): a grid of 64 training
+images, 1024 G samples (saved as 256- and 1024-image grids), the 64
+best/worst/random samples by D's score, and optionally (--neighbours) the
+L2-nearest training neighbours of the 16 best samples — the reference's
+O(16*N_train) host loop (sample.lua:130-148) becomes chunked distance
+matmuls on device over the FULL trainset (sample.lua:133 loads everything;
+``--neighbours_max`` caps the scan explicitly).
+
+Filenames: with the default --runs 1 the artifacts keep their unstamped
+round-1 names (trainset.jpg, samples_256.jpg, ...); with --runs > 1 every
+file gets a _NNNN run suffix (samples_256_0002.jpg, ...).
 """
 from __future__ import annotations
 
@@ -53,15 +60,9 @@ def main(argv=None):
 
     cfg.height, cfg.width, cfg.colorSpace = h, w, colorspace
     dataset = common.make_dataset(cfg)
-    train_imgs = dataset.load_random_images(64)
 
     def rgb(x):
         return common.to_nhwc_rgb(x, colorspace)
-
-    save_image(os.path.join(cfg.writeto, "trainset.jpg"),
-               images_to_grid(np.asarray(
-                   common.to_nhwc_rgb(jnp.asarray(train_imgs), colorspace)),
-                   8, 8))
 
     @jax.jit
     def gen(z):
@@ -71,43 +72,88 @@ def main(argv=None):
     def rate(images):
         return D.apply(d_vars, images, train=False)[0].reshape(-1)
 
-    z = noise_inputs(jax.random.fold_in(key, 1), 1024, noise_dim,
-                     noise_method)
-    images = gen(z)
-    images_host = rgb(images)
-    save_image(os.path.join(cfg.writeto, "samples_256.jpg"),
-               images_to_grid(images_host[:256], 16, 16))
-    save_image(os.path.join(cfg.writeto, "samples_1024.jpg"),
-               images_to_grid(images_host, 32, 32))
+    @jax.jit
+    def chunk_nearest(best_flat, train_chunk):
+        # running-min building block for the full-trainset neighbour scan:
+        # distances of the 16 best samples against ONE train chunk
+        t = train_chunk.reshape(train_chunk.shape[0], -1).astype(jnp.float32)
+        d = (jnp.sum(best_flat * best_flat, 1)[:, None]
+             - 2 * best_flat @ t.T + jnp.sum(t * t, 1)[None, :])
+        return jnp.min(d, axis=1), jnp.argmin(d, axis=1)
 
-    preds = np.asarray(rate(images))
-    order = np.argsort(-preds, kind="stable")
-    save_image(os.path.join(cfg.writeto, "best_64.jpg"),
-               images_to_grid(images_host[order[:64]], 8, 8))
-    save_image(os.path.join(cfg.writeto, "worst_64.jpg"),
-               images_to_grid(images_host[order[::-1][:64]], 8, 8))
-    save_image(os.path.join(cfg.writeto, "random_64.jpg"),
-               images_to_grid(images_host[:64], 8, 8))
+    for run in range(1, cfg.runs + 1):
+        def out(name):
+            # run-stamped like sample.lua:83-121's '%04d' patterns; the
+            # default single run keeps the unstamped round-1 names
+            if cfg.runs > 1:
+                base, ext = os.path.splitext(name)
+                name = f"{base}_{run:04d}{ext}"
+            return os.path.join(cfg.writeto, name)
 
-    if cfg.neighbours:
-        # L2 nearest neighbour in the training set for the 16 best samples,
-        # one distance matmul on device (replaces sample.lua:130-148)
-        n_train = min(dataset.size(), 4096)
-        train_all = jnp.asarray(dataset.load_random_images(n_train))
+        rkey = jax.random.fold_in(key, run)
+        train_imgs = dataset.load_random_images(64)
+        save_image(out("trainset.jpg"),
+                   images_to_grid(np.asarray(
+                       rgb(jnp.asarray(train_imgs))), 8, 8))
 
-        @jax.jit
-        def nearest(best, train):
-            b = best.reshape(best.shape[0], -1).astype(jnp.float32)
-            t = train.reshape(train.shape[0], -1).astype(jnp.float32)
-            d = (jnp.sum(b * b, 1)[:, None] - 2 * b @ t.T
-                 + jnp.sum(t * t, 1)[None, :])
-            return jnp.argmin(d, axis=1)
+        z = noise_inputs(jax.random.fold_in(rkey, 1), 1024, noise_dim,
+                         noise_method)
+        images = gen(z)
+        images_host = rgb(images)
+        save_image(out("samples_256.jpg"),
+                   images_to_grid(images_host[:256], 16, 16))
+        save_image(out("samples_1024.jpg"),
+                   images_to_grid(images_host, 32, 32))
 
-        best16 = images[np.asarray(order[:16])]
-        nn_idx = np.asarray(nearest(best16, train_all))
-        tiles = np.concatenate([rgb(best16), rgb(train_all[nn_idx])])
-        save_image(os.path.join(cfg.writeto, "neighbours.jpg"),
-                   images_to_grid(tiles, 4, 8))
+        preds = np.asarray(rate(images))
+        order = np.argsort(-preds, kind="stable")
+        save_image(out("best_64.jpg"),
+                   images_to_grid(images_host[order[:64]], 8, 8))
+        save_image(out("worst_64.jpg"),
+                   images_to_grid(images_host[order[::-1][:64]], 8, 8))
+        save_image(out("random_64.jpg"),
+                   images_to_grid(images_host[:64], 8, 8))
+
+        if cfg.neighbours:
+            # L2 nearest training neighbour for the 16 best samples over
+            # the FULL trainset (sample.lua:130-148 / loadImages(0, 1e7)),
+            # as chunked device matmuls with a host running min — the
+            # trainset never needs to fit in HBM at once
+            n_train = dataset.size()
+            if cfg.neighbours_max > 0:
+                n_train = min(n_train, cfg.neighbours_max)
+                if n_train < dataset.size():
+                    print(f"[sample] --neighbours_max: scanning "
+                          f"{n_train}/{dataset.size()} training images")
+            chunk = 2048
+            best16 = images[np.asarray(order[:16])]
+            best_flat = best16.reshape(16, -1).astype(jnp.float32)
+            best_d = np.full((16,), np.inf, np.float32)
+            best_img = None
+            for start in range(0, n_train, chunk):
+                count = min(chunk, n_train - start)
+                imgs_np = dataset.load_images(start, count)
+                chunk_dev = jnp.asarray(imgs_np)
+                if count < chunk and start > 0:
+                    # pad to the compiled chunk shape with copies of row 0
+                    # (ties break to the true first occurrence in argmin)
+                    chunk_dev = jnp.concatenate(
+                        [chunk_dev, jnp.tile(chunk_dev[:1],
+                                             (chunk - count, 1, 1, 1))])
+                v, i = chunk_nearest(best_flat, chunk_dev)
+                v, i = np.asarray(v), np.minimum(np.asarray(i), count - 1)
+                better = v < best_d
+                if best_img is None:
+                    best_img = np.empty((16,) + imgs_np.shape[1:],
+                                        imgs_np.dtype)
+                best_d[better] = v[better]
+                best_img[better] = imgs_np[i[better]]
+            tiles = np.concatenate(
+                [np.asarray(rgb(best16)),
+                 np.asarray(rgb(jnp.asarray(best_img)))])
+            save_image(out("neighbours.jpg"), images_to_grid(tiles, 4, 8))
+        if cfg.runs > 1:
+            print(f"[sample] run {run}/{cfg.runs} done")
     print(f"[sample] artifacts written to {cfg.writeto}/")
 
 

@@ -168,6 +168,7 @@ class ApplyConfig(Config):
     refine_lr: float = _f(0.05, "refinement learning rate (adam on z)")
     pallas: bool = _f(False, "use the measured-fastest optimized paths: folded-BN + lhs-dilated fast G decoder (models/fastpath.py) and the fused Pallas kmeans/cosine-search kernels (ops/). Intended for TPU — off-TPU the kmeans/top-k kernels run in the (very slow) interpreter; ignored for the kernel sections under --mesh_data>1")
     mesh_data: int = _f(1, "shard the N-axis of generation/inversion/search over this many devices (SURVEY.md §5.7 large-N path)")
+    mesh_model: int = _f(1, "tensor-parallel axis: shard G/R's big Dense kernels over this many devices (the 128x128/z=256 workload, SURVEY.md §7 step 6); composes with --mesh_data")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
 
 
@@ -228,6 +229,8 @@ class SampleConfig(Config):
     writeto: str = _f("samples", "output directory")
     batchSize: int = _f(32, "inference batch size")
     neighbours: bool = _f(False, "find nearest training-set neighbours of best samples")
+    neighbours_max: int = _f(0, "cap on training images scanned by --neighbours (0 = full trainset, like sample.lua:133's loadImages(0, 9999999))")
+    runs: int = _f(1, "how often to sample and save images (sample.lua:17); run>1 artifacts get a _NNNN suffix")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
     seed: int = _f(1, "RNG seed")
     colorSpace: str = _f("rgb", "warned-on when it mismatches the checkpoint (sample.lua:210-217); the checkpoint wins")

@@ -31,7 +31,12 @@ def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
                 "of *.jpg images, or 'synthetic')")
         # match the real extension ('.jpg', case-insensitive; also '.jpeg'
         # for ext='jpg') — a bare endswith matched non-extension suffixes
-        # like 'thumbsjpg' and missed '.JPG' camera exports
+        # like 'thumbsjpg' and missed '.JPG' camera exports.
+        # DELIBERATE divergence from the reference (dataset.lua:77,
+        # file:find(ext..'$')): that match is case-sensitive and dot-free,
+        # so it accepts 'thumbsjpg' but rejects '.jpeg'/'.JPG' — a
+        # parity-audit run over a mixed-case directory loads a different
+        # file set here, by design (flagged per repo convention).
         suffixes = ("." + ext.lower(),)
         if ext.lower() == "jpg":
             suffixes += (".jpeg",)

@@ -12,6 +12,7 @@ tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
 """
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -19,9 +20,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, c_ref, sums_ref, counts_ref):
+def _kernel(x_ref, c_ref, sums_ref, counts_ref, *, tile_n, n_valid):
     """x_ref: (TILE_N, D); c_ref: (K, D); accumulators:
-    sums (K, D), counts (1, K) — grid-carried (same block every step)."""
+    sums (K, D), counts (1, K) — grid-carried (same block every step).
+
+    ``n_valid`` (static): rows with global index >= n_valid are padding —
+    their one-hot contribution is zeroed INSIDE the kernel, so padded
+    inputs need no host-side correction (whose separately-lowered argmin
+    could disagree with the kernel's for near-equidistant centroids)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -41,6 +47,10 @@ def _kernel(x_ref, c_ref, sums_ref, counts_ref):
     onehot = (assign[:, None] ==
               jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
               ).astype(jnp.float32)         # (TILE_N, K)
+    # mask padded rows (TPU needs >=2D iota: build row ids at (TILE_N, K))
+    row_ids = (i * tile_n
+               + jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 0))
+    onehot = jnp.where(row_ids < n_valid, onehot, 0.0)
     sums_ref[:] += jax.lax.dot_general(
         onehot, x, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -63,10 +73,9 @@ def kmeans_pallas(key: jax.Array, x: jax.Array, k: int, iters: int, *,
     """Full kmeans with the fused step; same init as analysis.kmeans.kmeans
     (random data points).
 
-    N that is not a tile multiple is padded with copies of row 0, whose
-    contribution is subtracted exactly from the padded cluster's sum/count
-    each iteration — results match the unpadded lax path, no duplicate-row
-    bias.
+    N that is not a tile multiple is padded with copies of row 0; the
+    kernel itself masks rows beyond the true N (``n_valid``), so padded
+    runs match the unpadded lax path with no host-side correction.
     """
     x = x.astype(jnp.float32)
     n = x.shape[0]
@@ -78,33 +87,25 @@ def kmeans_pallas(key: jax.Array, x: jax.Array, k: int, iters: int, *,
     centroids = jnp.take(x, init_idx, axis=0)
     counts = jnp.zeros((k,), jnp.float32)
     for _ in range(iters):
-        sums, counts = _kmeans_sums_counts(xp, centroids, tile_n, interpret)
-        if pad:
-            # remove the padded copies of row 0 from their cluster — using
-            # the KERNEL's exact argmin arithmetic (||c||^2 - 2 x.c, f32
-            # dot); the earlier sum((c-x0)^2) form could round to a
-            # different argmin for near-equidistant centroids and subtract
-            # from the wrong cluster
-            d0 = (jnp.sum(centroids * centroids, axis=1)
-                  - 2.0 * jnp.dot(centroids, x[0],
-                                  preferred_element_type=jnp.float32))
-            a0 = jnp.argmin(d0)
-            sums = sums.at[a0].add(-pad * x[0])
-            counts = counts.at[a0].add(-float(pad))
+        sums, counts = _kmeans_sums_counts(xp, centroids, tile_n, interpret,
+                                           n_valid=n)
         new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
         centroids = jnp.where(counts[:, None] > 0, new_centroids, centroids)
     return centroids, counts
 
 
-def _kmeans_sums_counts(x, centroids, tile_n, interpret):
-    """Raw (sums, counts) from the fused kernel (no centroid division)."""
+def _kmeans_sums_counts(x, centroids, tile_n, interpret, n_valid=None):
+    """Raw (sums, counts) from the fused kernel (no centroid division).
+    ``n_valid``: true row count — rows beyond it are padding, masked in
+    the kernel (defaults to all rows valid)."""
     from .topk_kernel import _auto_interpret
     interpret = _auto_interpret(interpret)
     n, d = x.shape
     k = centroids.shape[0]
     assert n % tile_n == 0, (n, tile_n)
     sums, counts = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tile_n=tile_n,
+                          n_valid=n if n_valid is None else n_valid),
         grid=(n // tile_n,),
         in_specs=[
             pl.BlockSpec((tile_n, d), lambda i: (i, 0),

@@ -13,8 +13,14 @@ latent refinement of BASELINE config 5 (analysis/refine.py) — crashed.
 ``conv_f32acc`` keeps the exact forward and defines the backward
 explicitly: the cotangent is cast to the operand dtype and the gradient
 convs run at operand precision (the MXU accumulates f32 internally either
-way) — standard mixed-precision practice. At f32 operands every cast is
-the identity, so f32 gradients are bit-identical to the old path.
+way) — standard mixed-precision practice.
+
+f32 operands dispatch straight to ``lax.conv_general_dilated`` (no
+custom_vjp): the primitive's own transpose handles same-dtype operands,
+the gradients are identical, and full forward-mode AD (jvp/jacfwd/
+hessian) is preserved. Only the low-precision path carries the
+custom_vjp, which is REVERSE-MODE ONLY — jax.jvp through a bf16 conv
+raises, a documented constraint of custom_vjp.
 """
 from __future__ import annotations
 
@@ -25,13 +31,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def conv_f32acc(x, k, strides, padding, lhs_dilation, dn):
     """``lax.conv_general_dilated(..., preferred_element_type=f32)`` that
-    can be differentiated with low-precision operands.
+    can be differentiated with low-precision operands (reverse mode; f32
+    operands keep full forward+reverse AD via the plain primitive).
 
     x/k must share a dtype; strides/padding/lhs_dilation/dn are static
     (padding: string or tuple-of-pairs; lhs_dilation: None or tuple)."""
+    if x.dtype == jnp.float32:
+        return lax.conv_general_dilated(
+            x, k, strides, padding,
+            lhs_dilation=lhs_dilation, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+    return _conv_lowp(x, k, strides, padding, lhs_dilation, dn)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv_lowp(x, k, strides, padding, lhs_dilation, dn):
     return lax.conv_general_dilated(
         x, k, strides, padding,
         lhs_dilation=lhs_dilation, dimension_numbers=dn,
@@ -39,7 +55,7 @@ def conv_f32acc(x, k, strides, padding, lhs_dilation, dn):
 
 
 def _fwd(x, k, strides, padding, lhs_dilation, dn):
-    return conv_f32acc(x, k, strides, padding, lhs_dilation, dn), (x, k)
+    return _conv_lowp(x, k, strides, padding, lhs_dilation, dn), (x, k)
 
 
 def _bwd(strides, padding, lhs_dilation, dn, res, ybar):
@@ -55,4 +71,4 @@ def _bwd(strides, padding, lhs_dilation, dn, res, ybar):
     return gx, gk
 
 
-conv_f32acc.defvjp(_fwd, _bwd)
+_conv_lowp.defvjp(_fwd, _bwd)

@@ -153,3 +153,40 @@ def test_refiner_bf16_generator(key):
     refine = A.make_refiner(G, steps=10, lr=0.1)
     z, final_loss = refine(gv, images, jnp.zeros_like(z_true))
     assert np.isfinite(np.asarray(final_loss)).all()
+
+
+def test_topk_all_matches_cosine_topk(key):
+    """topk_all (the e2e program's search leg) == cosine_topk with every
+    row as a needle, including the needle-chunk padding tail."""
+    emb = jax.random.normal(key, (37, 16))  # 37 % chunk != 0 -> pad path
+    v, i = A.topk_all(emb, 5, needle_chunk=8)
+    ref_v, ref_i = A.cosine_topk(emb, jnp.arange(37), 5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_e2e_program_matches_serial(key):
+    """The fused generate->invert->top-k program (analysis/e2e.py) produces
+    the same embeddings and rankings as the three-dispatch serial path."""
+    dims, nd, n = (1, 8, 8), 8, 24
+    G = M.create_G(dims, nd)
+    R = M.create_R(dims, nd, "normal")
+    gk, rk, zk = jax.random.split(key, 3)
+    gv, _ = G.init(gk, (nd,))
+    rv, _ = R.init(rk, (8, 8, 1))
+    z = noise_inputs(zk, n, nd, "normal")
+
+    run = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=8)
+    emb, v, i = run(gv, rv, z)
+
+    generate, invert, search = A.make_serial_programs(
+        G, R, batch_size=8, k=4, needle_chunk=8)
+    emb_ref = invert(rv, generate(gv, z))
+    v_ref, i_ref = search(emb_ref)
+
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i), np.asarray(i_ref))

@@ -66,3 +66,47 @@ def test_distributed_topk_exact(key):
     np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
                                rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_distributed_invert_dp_tp_matches_single(key):
+    """apply_r --mesh_model path (VERDICT r2 item 6): generate+invert with
+    the batch sharded over 'data' AND the big Dense kernels TP-sharded over
+    'model' matches the single-device pipeline, and the shard_map top-k
+    still merges exactly over the 2-D mesh."""
+    G = M.create_G((1, 8, 8), 8)
+    R = M.create_R((1, 8, 8), 8, "normal")
+    gv, _ = G.init(jax.random.fold_in(key, 1), (8,))
+    rv, _ = R.init(jax.random.fold_in(key, 2), (8, 8, 1))
+    mesh = par.make_mesh(data=4, model=2)
+
+    def place(v):  # same layout rule as cli/apply_r.py's mesh branch
+        return {"params": par.shard_params(v["params"], mesh,
+                                           min_size=1 << 10),
+                "state": par.replicate(v["state"], mesh)}
+
+    noise, images, attrs = distributed_generate_and_invert(
+        G, R, place(gv), place(rv), n=64, noise_dim=8,
+        noise_method="normal", key=seed_key(3), mesh=mesh)
+
+    imgs_ref, _ = G.apply(gv, jnp.asarray(jax.device_get(noise)))
+    attrs_ref, _ = R.apply(rv, imgs_ref)
+    np.testing.assert_allclose(np.asarray(attrs), np.asarray(attrs_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # rankings vs the single-device pipeline: untrained-model embeddings
+    # are near-collinear (cosine gaps < fp noise), so only VALUES are
+    # asserted here; exact index agreement is checked below on separated
+    # embeddings sharded over the same 2-D mesh
+    v, i = distributed_cosine_topk(attrs, jnp.arange(3), 10, mesh)
+    ref_v, ref_i = A.cosine_topk(attrs_ref, jnp.arange(3), 10)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-4, atol=1e-5)
+
+    # the collective merge over a mesh WITH a model axis is exact
+    emb = jax.random.normal(jax.random.fold_in(key, 3), (64, 32))
+    ev, ei = distributed_cosine_topk(par.shard_batch(emb, mesh),
+                                     jnp.arange(3), 10, mesh)
+    sv, si = A.cosine_topk(emb, jnp.arange(3), 10)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(sv),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(ei), np.asarray(si))

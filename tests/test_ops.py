@@ -347,3 +347,28 @@ def test_fused_G_matches_unfused(key):
     yu, _ = Gu.apply(vu, z, train=False)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yu),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_topk_matches_lax(key):
+    """Two-pass tiled selection (ops/tiled_topk.py) == lax.top_k, including
+    the -inf padding tail and k > tile."""
+    from ganreverser_tpu.ops.tiled_topk import tiled_topk
+    scores = jax.random.normal(key, (5, 1000))
+    for k, tile in ((7, 256), (7, 64), (100, 64), (100, 1024)):
+        v, i = tiled_topk(scores, k, tile=tile)
+        rv, ri = jax.lax.top_k(scores, k)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rv),
+                                   rtol=1e-6, atol=0)
+        assert np.array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_pixel_cosine_topk_tiled_matches_similarity(key):
+    from ganreverser_tpu.analysis.similarity import pixel_cosine_topk
+    from ganreverser_tpu.ops.tiled_topk import pixel_cosine_topk_tiled
+    imgs = jax.random.uniform(key, (60, 8, 8, 3))
+    needles = jnp.arange(4)
+    v, i = pixel_cosine_topk_tiled(imgs, needles, 10, tile=16)
+    rv, ri = pixel_cosine_topk(imgs, needles, 10)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i), np.asarray(ri))

@@ -91,11 +91,22 @@ def test_full_pipeline(workdir, trained_gan):
     # --- sample.lua equivalent ---
     sout = os.path.join(workdir, "samples")
     sample.main(["--network", g_ckpt, "--writeto", sout,
-                 "--dataset", "synthetic", "--neighbours"])
+                 "--dataset", "synthetic", "--neighbours",
+                 "--neighbours_max", "256"])
     for f in ["trainset.jpg", "samples_256.jpg", "samples_1024.jpg",
               "best_64.jpg", "worst_64.jpg", "random_64.jpg",
               "neighbours.jpg"]:
         assert os.path.isfile(os.path.join(sout, f)), f
+
+    # --runs loops the whole artifact set with run-stamped filenames
+    # (sample.lua:17,75-121)
+    sout2 = os.path.join(workdir, "samples_runs")
+    sample.main(["--network", g_ckpt, "--writeto", sout2,
+                 "--dataset", "synthetic", "--runs", "2"])
+    for run in ("0001", "0002"):
+        for f in [f"samples_256_{run}.jpg", f"best_64_{run}.jpg",
+                  f"trainset_{run}.jpg"]:
+            assert os.path.isfile(os.path.join(sout2, f)), f
 
     # --- checkpoint inspector ---
     show.main([g_ckpt])
