@@ -244,6 +244,15 @@ def main(argv=None):
                   f"one fused program): {n_images / t_e2e:,.0f} img/s "
                   f"({t_e2e*1e3:.1f} ms vs serial {serial_sum*1e3:.1f} ms "
                   f"— {verdict})", file=sys.stderr)
+            # same fused program with the folded-BN lhs-dilated G decoder
+            # (models/fastpath.py) on the same checkpoint pytree
+            e2e_fast = make_e2e_program(
+                G, R, batch_size=batch, k=100,
+                g_apply=lambda gv, zc: fastgen_xla(gv, zc))
+            t_ef = _time_best(e2e_fast, g_vars, r_vars, z)
+            print(f"[bench] end-to-end (fused, fast-XLA G decoder): "
+                  f"{n_images / t_ef:,.0f} img/s ({t_ef*1e3:.1f} ms)",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — report, keep headline
             print(f"[bench] fused e2e program failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)

@@ -18,8 +18,11 @@ eval rooflines). For f32 runs the achieved TFLOP/s is reported without an
 MFU claim (the MXU's f32 path has a different, layout-dependent peak).
 
 Usage: python benchmarks/roofline.py [--cpu] [--f32] [--smoke]
+                                     [d] [g] [dg] [r]   # default: all
 Each line: {"metric": ..., "flops_g": ..., "ms": ..., "tflops": ...,
-"mfu_pct": ...}.
+"mfu_pct": ...}. Sections can be run one per process (the axon tunnel
+occasionally wedges a remote compile; per-section invocations bound the
+damage to one timeout).
 """
 from __future__ import annotations
 
@@ -119,42 +122,57 @@ def main(argv=None):
                 rec["mfu_pct"] = round(100 * fl / t / PEAK_BF16, 1)
         print(json.dumps(rec), flush=True)
 
+    sections = [a for a in argv if a in ("d", "g", "dg", "r")] or \
+        ["d", "g", "dg", "r"]
+    fl_d = fl_g = None
+
     # FLOPs (XLA cost model on the compiled step) then the timed scan,
     # emitted per section so partial runs still report
-    progress("d_step: cost analysis...")
-    fl_d = _flops(jax.jit(d_body).lower(gs, reals[0], conf,
-                                        jax.random.fold_in(key, 5)))
-    progress("d_step: timing scan...")
-    t_d = scan_time(lambda c, k, r: (d_body(c[0], r, c[1], k)[0], c[1]))
-    emit("d_step (fwd+bwd+adam)", fl_d, t_d, batch)  # D sees full batch
+    if "d" in sections:
+        progress("d_step: cost analysis...")
+        fl_d = _flops(jax.jit(d_body).lower(gs, reals[0], conf,
+                                            jax.random.fold_in(key, 5)))
+        progress("d_step: timing scan...")
+        t_d = scan_time(lambda c, k, r: (d_body(c[0], r, c[1], k)[0], c[1]))
+        emit("d_step (fwd+bwd+adam)", fl_d, t_d, batch)  # D sees full batch
 
-    progress("g_step: cost analysis...")
-    fl_g = _flops(jax.jit(g_body).lower(gs, jax.random.fold_in(key, 6)))
-    progress("g_step: timing scan...")
-    t_g = scan_time(lambda c, k, r: (g_body(c[0], k)[0], c[1]))
-    emit("g_step (fwd+bwd+adam)", fl_g, t_g, batch)
+    if "g" in sections:
+        progress("g_step: cost analysis...")
+        fl_g = _flops(jax.jit(g_body).lower(gs, jax.random.fold_in(key, 6)))
+        progress("g_step: timing scan...")
+        t_g = scan_time(lambda c, k, r: (g_body(c[0], k)[0], c[1]))
+        emit("g_step (fwd+bwd+adam)", fl_g, t_g, batch)
 
-    progress("d+g: timing scan...")
-    t_dg = scan_time(lambda c, k, r:
-                     (g_body(d_body(c[0], r, c[1], k)[0], k)[0], c[1]))
-    if fl_d and fl_g:
-        emit("d+g step", fl_d + fl_g, t_dg, batch)
+    if "dg" in sections:
+        if fl_d is None or fl_g is None:
+            progress("d+g: cost analysis...")
+            fl_d = fl_d or _flops(jax.jit(d_body).lower(
+                gs, reals[0], conf, jax.random.fold_in(key, 5)))
+            fl_g = fl_g or _flops(jax.jit(g_body).lower(
+                gs, jax.random.fold_in(key, 6)))
+        progress("d+g: timing scan...")
+        t_dg = scan_time(lambda c, k, r:
+                         (g_body(d_body(c[0], r, c[1], k)[0], k)[0], c[1]))
+        if fl_d and fl_g:
+            emit("d+g step", fl_d + fl_g, t_dg, batch)
 
-    progress("r_step: cost analysis...")
-    fl_r = _flops(jax.jit(r_step).lower(gs.g.variables, r_ts,
-                                        jax.random.fold_in(key, 7)))
+    if "r" in sections:
+        progress("r_step: cost analysis...")
+        fl_r = _flops(jax.jit(r_step).lower(gs.g.variables, r_ts,
+                                            jax.random.fold_in(key, 7)))
 
-    @jax.jit
-    def r_scan(ts, keys):
-        def f(c, k):
-            return r_step(gs.g.variables, c, k)[0], ()
-        c, _ = lax.scan(f, ts, keys)
-        return c
-    progress("r_step: timing scan...")
-    t_r = time_best(r_scan, r_ts,
-                    jax.random.split(jax.random.fold_in(key, 9), n_steps),
-                    repeats=repeats) / n_steps
-    emit("r_step (G fwd + R fwd+bwd+adam)", fl_r, t_r, batch)
+        @jax.jit
+        def r_scan(ts, keys):
+            def f(c, k):
+                return r_step(gs.g.variables, c, k)[0], ()
+            c, _ = lax.scan(f, ts, keys)
+            return c
+        progress("r_step: timing scan...")
+        t_r = time_best(
+            r_scan, r_ts,
+            jax.random.split(jax.random.fold_in(key, 9), n_steps),
+            repeats=repeats) / n_steps
+        emit("r_step (G fwd + R fwd+bwd+adam)", fl_r, t_r, batch)
 
 
 if __name__ == "__main__":

@@ -15,17 +15,22 @@ run() { # run <tag> <timeout_s> <cmd...>
 
 # 0. is Mosaic healthy on this tunnel? (separates infra from kernel bugs)
 run probe        600  python benchmarks/tpu_pallas_probe.py
-# 1. round-3 priority: the wide-D pixel-similarity selection shot
-#    (VERDICT r2 item 8) and the training-step roofline (item 3)
-run pixel_topk   1800 python benchmarks/tpu_kernel_check.py pixel_topk
-run roofline     3600 python benchmarks/roofline.py
-run roofline_f32 3600 python benchmarks/roofline.py --f32
-# 2. headline bench (R inversion; picks the faster parity-tested path)
+# 1. headline bench (R inversion; picks the faster parity-tested path)
 run bench        2400 python bench.py
-# 3. full bench: all G legs + the MEASURED fused e2e program (item 2)
+# 2. full bench: all G legs + the MEASURED fused e2e program (item 2)
 run bench_full   3600 python bench.py --full
-# 4. the six-config matrix (training rates, inversion pipeline, refinement)
+# 3. the six-config matrix (training rates, inversion pipeline, refinement)
 run matrix       7200 python benchmarks/matrix.py
+# 4. round-3: wide-D pixel-similarity selection shot (VERDICT r2 item 8)
+run pixel_topk   1800 python benchmarks/tpu_kernel_check.py pixel_topk
+# 5. training-step roofline (item 3) — one section per process: a wedged
+#    remote compile (observed live: scan program hung 30+ min at 0% CPU)
+#    then burns one small timeout instead of the whole phase
+run roofline_d   1500 python benchmarks/roofline.py d
+run roofline_g   1500 python benchmarks/roofline.py g
+run roofline_dg  1500 python benchmarks/roofline.py dg
+run roofline_r   1500 python benchmarks/roofline.py r
+run roofline_f32 2400 python benchmarks/roofline.py --f32 dg
 # 5b. kernel tile sweeps (round-2 parity maintenance — keep, cheaper now)
 run up_stages    1800 python benchmarks/tpu_kernel_check.py upsample_stages
 run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages

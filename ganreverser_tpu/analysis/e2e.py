@@ -59,19 +59,27 @@ def topk_all(embeddings: jax.Array, k: int,
 
 
 def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
-                     k: int = 100, needle_chunk: int = 256):
+                     k: int = 100, needle_chunk: int = 256,
+                     g_apply=None):
     """One jitted ``(g_vars, r_vars, z) -> (emb, topk_vals, topk_idx)``.
 
     The fused production pipeline: chunked G→R (images stay in registers/
     VMEM-scale chunks, never a full-N HBM tensor), then the all-N cosine
     top-k. Equivalent to apply_r.lua:143-153 + 265-318 with every face as
     a needle.
+
+    ``g_apply``: optional ``(g_variables, z_chunk) -> images`` override for
+    the generator leg — e.g. models/fastpath.py's folded-BN lhs-dilated
+    decoder, which reads the same checkpoint pytree.
     """
 
     @jax.jit
     def run(g_variables, r_variables, z):
         def g_then_r(zc):
-            imgs, _ = G.apply(g_variables, zc, train=False)
+            if g_apply is None:
+                imgs, _ = G.apply(g_variables, zc, train=False)
+            else:
+                imgs = g_apply(g_variables, zc)
             emb, _ = R.apply(r_variables, imgs, train=False)
             return emb
 

@@ -58,7 +58,7 @@ def main(argv=None):
     cfg = GanConfig.from_args(argv, "adversarial G/D training (train.lua)")
     common.maybe_distributed(cfg)
     dtype = common.compute_dtype(cfg)
-    key = seed_key(cfg.seed)
+    key = seed_key(cfg.seed, getattr(cfg, "prng", "threefry"))
     dataset = common.make_dataset(cfg)
     G, D, dims = common.build_gan_models(cfg, dtype)
     c, h, w = dims

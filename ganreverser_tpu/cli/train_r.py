@@ -32,7 +32,7 @@ def main(argv=None):
     cfg = RConfig.from_args(argv, "Reverser training (train_r.lua)")
     common.maybe_distributed(cfg)
     dtype = common.compute_dtype(cfg)
-    key = seed_key(cfg.seed)
+    key = seed_key(cfg.seed, getattr(cfg, "prng", "threefry"))
 
     # load frozen G, inherit geometry from its checkpoint (train_r.lua:66-75)
     g_tree, g_cfg, g_extra = gio.load_checkpoint(cfg.G)

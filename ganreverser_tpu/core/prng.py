@@ -10,9 +10,21 @@ import jax
 import jax.numpy as jnp
 
 
-def seed_key(seed: int) -> jax.Array:
-    """The framework-wide root key (replaces the reference's triple seeding)."""
-    return jax.random.PRNGKey(seed)
+def seed_key(seed: int, impl: str = "threefry") -> jax.Array:
+    """The framework-wide root key (replaces the reference's triple seeding).
+
+    ``impl``: 'threefry' (default — deterministic across backends) or
+    'rbg' (XLA's native RngBitGenerator). Every key derived by split/
+    fold_in inherits the impl, so one root-key choice switches the WHOLE
+    program's RNG. Measured on v5e (benchmarks/train_ablate.py, round 3):
+    threefry mask generation costs the R training step 13.4 ms of 40.2
+    (seven dropout layers, ~270M mask elements); rbg runs the same step
+    in 26.8 ms — 1.50x. Trade-off: rbg streams are not guaranteed stable
+    across backends/XLA versions, hence opt-in (``--prng rbg`` on the
+    training CLIs)."""
+    if impl == "threefry":
+        return jax.random.PRNGKey(seed)  # the impl-default-independent form
+    return jax.random.key(seed, impl=impl)
 
 
 def noise_inputs(key: jax.Array, n: int, noise_dim: int, method: str = "normal",

@@ -12,8 +12,16 @@ The global top-k is a subset of the union of per-tile top-ks, so the
 result is exact (same argument as parallel/comm.py's sharded_topk_merge —
 this is the single-chip analogue of that cross-chip trick).
 
-Measured verdict (RESULTS.md round 3) decides whether it becomes the
-pixel-path default; parity is asserted in tests/test_ops.py either way.
+MEASURED VERDICT (v5e, round 3 — benchmarks/logs/tpu_r03_pixel_topk.log):
+XLA wins; NOT adopted. At the flagship shape (N=10240, D=12288, q=256,
+k=100) the full lax path runs 9.8 ms of which scoring alone is 7.9 ms —
+lax.top_k lowers to an optimized partial-sort on TPU, costing only ~2 ms
+(20%), so the theoretical selection win was <=1.25x to begin with; the
+two-pass ran 12.1-13.2 ms (0.75-0.81x) across tiles 512/1024/2048 because
+the extra pass over the (q, N) score matrix costs more than the sort it
+saves. This closes the last plausibly-kernel-winnable shape (VERDICT r2
+item 8): production keeps analysis/similarity.py's lax path. Kept as a
+parity-tested building block (tests/test_ops.py).
 """
 from __future__ import annotations
 

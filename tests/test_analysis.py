@@ -190,3 +190,22 @@ def test_e2e_program_matches_serial(key):
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_e2e_program_g_apply_override(key):
+    """The g_apply override (bench's fast-decoder leg) produces identical
+    results when given the module's own apply."""
+    dims, nd, n = (1, 8, 8), 8, 16
+    G = M.create_G(dims, nd)
+    R = M.create_R(dims, nd, "normal")
+    gk, rk, zk = jax.random.split(key, 3)
+    gv, _ = G.init(gk, (nd,))
+    rv, _ = R.init(rk, (8, 8, 1))
+    z = noise_inputs(zk, n, nd, "normal")
+    base = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=8)
+    over = A.make_e2e_program(
+        G, R, batch_size=8, k=4, needle_chunk=8,
+        g_apply=lambda g, zc: G.apply(g, zc, train=False)[0])
+    for a, b in zip(base(gv, rv, z), over(gv, rv, z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -164,3 +164,28 @@ def test_bce_mse():
     t = jnp.array([1.0, 0.0])
     assert float(T.bce(o, t)) == pytest.approx(-np.log(0.9), rel=1e-3)
     assert float(T.mse(jnp.array([2.0, 0.0]), jnp.array([0.0, 0.0]))) == 2.0
+
+
+def test_prng_rbg_root_key_trains():
+    """--prng rbg (the measured 1.5x R-step win on v5e, train_ablate.py):
+    an rbg root key drives the same step programs — finite losses, and
+    noise_inputs sampling works with the typed key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ganreverser_tpu import models as M, optim as O, train as T
+    from ganreverser_tpu.core.prng import noise_inputs, seed_key
+
+    key = seed_key(3, "rbg")
+    z = noise_inputs(jax.random.fold_in(key, 0), 4, 8, "normal")
+    assert z.shape == (4, 8) and np.isfinite(np.asarray(z)).all()
+
+    dims, nd, batch = (1, 8, 8), 8, 8
+    G, R = M.create_G(dims, nd), M.create_R(dims, nd, "normal")
+    gv, _ = G.init(jax.random.fold_in(key, 1), (nd,))
+    r_ts = T.create_train_state(R, O.adam(), jax.random.fold_in(key, 2),
+                                (8, 8, 1))
+    r_step = T.make_r_train_step(G, R, batch_size=batch, noise_dim=nd,
+                                 noise_method="normal")
+    r_ts, loss = r_step(gv, r_ts, jax.random.fold_in(key, 3))
+    assert np.isfinite(float(loss))
