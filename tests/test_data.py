@@ -143,3 +143,23 @@ def test_config_argparse():
     cfg = GanConfig.from_args(["--noiseDim", "12", "--nopretraining"])
     assert cfg.noiseDim == 12 and cfg.nopretraining is True
     assert cfg.batchSize == 32  # reference default (train.lua:27)
+
+
+def test_hostmem_madvise_toggle(tmp_path):
+    """Dataset construction disables numpy's MADV_HUGEPAGE hint (the
+    measured 72x ingest fault-stall fix, data/hostmem.py) idempotently,
+    and allocation behaviour stays correct afterwards."""
+    from ganreverser_tpu.data import hostmem
+
+    hostmem.disable_hugepage_madvise()
+    hostmem.disable_hugepage_madvise()  # idempotent
+    assert hostmem._applied
+    try:
+        from numpy._core import multiarray as m
+    except ImportError:
+        from numpy.core import multiarray as m
+    # previous value False proves the toggle really was applied
+    assert m._set_madvise_hugepage(False) is False
+    big = np.empty((2048, 64, 64, 3), np.float32)  # >4MB threshold path
+    big[:] = 1.0
+    assert float(big.sum()) == big.size
