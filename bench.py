@@ -253,6 +253,15 @@ def main(argv=None):
             print(f"[bench] end-to-end (fused, fast-XLA G decoder): "
                   f"{n_images / t_ef:,.0f} img/s ({t_ef*1e3:.1f} ms)",
                   file=sys.stderr)
+            # serving-scale variant: TPU-native approximate k-selection on
+            # the search leg (measured recall 0.986 at rt=0.95 on this
+            # shape — benchmarks/tpu_kernel_check.py approx_topk)
+            e2e_apx = make_e2e_program(G, R, batch_size=batch, k=100,
+                                       approx=True, recall_target=0.95)
+            t_ea = _time_best(e2e_apx, g_vars, r_vars, z)
+            print(f"[bench] end-to-end (fused, approx top-k rt=0.95): "
+                  f"{n_images / t_ea:,.0f} img/s ({t_ea*1e3:.1f} ms)",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — report, keep headline
             print(f"[bench] fused e2e program failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)

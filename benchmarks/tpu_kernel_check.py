@@ -274,8 +274,78 @@ def check_pixel_topk(n=10240, hwc=(64, 64, 3), q=256, k=100):
               t_full, err, tol=1e-5)
 
 
+def check_approx_topk(n=10240, d=100, k=100):
+    """TPU's native approximate k-selection (jax.lax.approx_max_k) vs the
+    exact lax.top_k on the retrieval shapes that dominate the pipelines:
+    the all-N e2e search (q=N needles — 105.8 ms measured leg, 28% of the
+    fused e2e program) and the q=256 serving query. Emits time AND the
+    measured recall vs the exact top-k (computed on device)."""
+    from ganreverser_tpu.analysis.e2e import topk_all
+
+    key = jax.random.PRNGKey(11)
+    emb = jax.random.normal(key, (n, d), jnp.float32)
+
+    def recall_device(fa, fb, x):
+        """mean fraction of exact indices recovered, on device."""
+        @jax.jit
+        def rec(x):
+            ia = fa(x)[1]  # (q, k) approx indices
+            ib = fb(x)[1]  # (q, k) exact indices
+            hit = (ia[:, :, None] == ib[:, None, :]).any(1)
+            return jnp.mean(hit.astype(jnp.float32))
+        return float(jax.device_get(rec(x)))
+
+    # --- all-N needle-scan (the e2e leg) --------------------------------
+    exact = jax.jit(lambda x: topk_all(x, k, 256))
+    t_exact = _time_best(exact, emb)
+    for rt in (0.85, 0.95):
+        apx = jax.jit(lambda x, r=rt: topk_all(x, k, 256, True, r))
+        t_apx = _time_best(apx, emb)
+        rec = recall_device(lambda x, r=rt: topk_all(x, k, 256, True, r),
+                            lambda x: topk_all(x, k, 256), emb)
+        _emit(f"approx_topk_allN_rt{rt}", f"{n}x{n} D{d} k{k}", t_apx,
+              t_exact, 0.0, note=f"measured recall={rec:.4f} "
+              "(pallas_ms column = approx path)")
+
+    # --- q=256 serving query (SimilarityIndex.topk shape) ---------------
+    from ganreverser_tpu.analysis.similarity import cosine_topk
+    needles = jnp.arange(256)
+    exact_q = jax.jit(lambda x: cosine_topk(x, needles, k))
+    t_eq = _time_best(exact_q, emb)
+    for rt in (0.85, 0.95):
+        apx_q = jax.jit(lambda x, r=rt: cosine_topk(x, needles, k, True, r))
+        t_aq = _time_best(apx_q, emb)
+        rec = recall_device(
+            lambda x, r=rt: cosine_topk(x, needles, k, True, r),
+            lambda x: cosine_topk(x, needles, k), emb)
+        _emit(f"approx_topk_q256_rt{rt}", f"256x{n} D{d} k{k}", t_aq,
+              t_eq, 0.0, note=f"measured recall={rec:.4f}")
+
+    # --- wide-D pixel shape (where selection was 20% of 9.8 ms) ---------
+    from ganreverser_tpu.analysis.similarity import pixel_cosine_topk
+    imgs = jax.random.uniform(jax.random.PRNGKey(12), (n, 64, 64, 3),
+                              jnp.bfloat16)
+    px_needles = jnp.arange(256)
+
+    @jax.jit
+    def px_apx(x):
+        from ganreverser_tpu.analysis.similarity import (cosine_scores,
+                                                         _select_topk)
+        s = cosine_scores(x.reshape(n, -1), px_needles)
+        return _select_topk(s, k, True, 0.95)
+
+    px_exact = jax.jit(lambda x: pixel_cosine_topk(x, px_needles, k))
+    t_pe = _time_best(px_exact, imgs)
+    t_pa = _time_best(px_apx, imgs)
+    rec = recall_device(px_apx, lambda x: pixel_cosine_topk(
+        x, px_needles, k), imgs)
+    _emit("approx_topk_pixel_rt0.95", f"256xD12288 k{k}", t_pa, t_pe, 0.0,
+          note=f"measured recall={rec:.4f}")
+
+
 CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
           "pixel_topk": check_pixel_topk,
+          "approx_topk": check_approx_topk,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
           "conv_block_stages": check_conv_block_stages,

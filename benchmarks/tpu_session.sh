@@ -23,6 +23,8 @@ run bench_full   3600 python bench.py --full
 run matrix       7200 python benchmarks/matrix.py
 # 4. round-3: wide-D pixel-similarity selection shot (VERDICT r2 item 8)
 run pixel_topk   1800 python benchmarks/tpu_kernel_check.py pixel_topk
+# 4b. TPU-native approximate k-selection vs exact (time + measured recall)
+run approx_topk  1800 python benchmarks/tpu_kernel_check.py approx_topk
 # 5. training-step roofline (item 3) — one section per process: a wedged
 #    remote compile (observed live: scan program hung 30+ min at 0% CPU)
 #    then burns one small timeout instead of the whole phase

@@ -35,13 +35,18 @@ from .similarity import normalize_rows
 
 
 def topk_all(embeddings: jax.Array, k: int,
-             needle_chunk: int = 256) -> Tuple[jax.Array, jax.Array]:
+             needle_chunk: int = 256, approx: bool = False,
+             recall_target: float = 0.95) -> Tuple[jax.Array, jax.Array]:
     """Top-k most-similar corpus rows for EVERY row, chunked over needles.
 
     The (N, N) score matrix is never materialized: needles stream through
     in ``needle_chunk`` blocks, each one matmul (MXU) + top_k. Returns
     (values (N, k), indices (N, k)). Traceable — safe inside jit.
+    ``approx=True`` uses TPU's native approximate k-selection
+    (analysis/similarity.py::_select_topk) — the selection is the
+    dominant cost of this all-N search on hardware.
     """
+    from .similarity import _select_topk
     n = embeddings.shape[0]
     normed = normalize_rows(embeddings)
     n_chunks = -(-n // needle_chunk)
@@ -51,7 +56,7 @@ def topk_all(embeddings: jax.Array, k: int,
 
     def search(qc):
         scores = jnp.dot(qc, normed.T, preferred_element_type=jnp.float32)
-        return jax.lax.top_k(scores, k)
+        return _select_topk(scores, k, approx, recall_target)
 
     v, i = jax.lax.map(search, q)
     return (v.reshape(n_chunks * needle_chunk, k)[:n],
@@ -60,7 +65,8 @@ def topk_all(embeddings: jax.Array, k: int,
 
 def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
                      k: int = 100, needle_chunk: int = 256,
-                     g_apply=None):
+                     g_apply=None, approx: bool = False,
+                     recall_target: float = 0.95):
     """One jitted ``(g_vars, r_vars, z) -> (emb, topk_vals, topk_idx)``.
 
     The fused production pipeline: chunked G→R (images stay in registers/
@@ -71,6 +77,10 @@ def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
     ``g_apply``: optional ``(g_variables, z_chunk) -> images`` override for
     the generator leg — e.g. models/fastpath.py's folded-BN lhs-dilated
     decoder, which reads the same checkpoint pytree.
+
+    ``approx``: swap the exact per-needle top-k for TPU's native
+    approximate k-selection (recall >= ``recall_target``); exact stays the
+    default — the reference's rankings are exact.
     """
 
     @jax.jit
@@ -84,7 +94,7 @@ def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
             return emb
 
         emb = forward_batched(g_then_r, z, batch_size)
-        v, i = topk_all(emb, k, needle_chunk)
+        v, i = topk_all(emb, k, needle_chunk, approx, recall_target)
         return emb, v, i
 
     return run

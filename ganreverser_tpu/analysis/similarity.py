@@ -31,17 +31,40 @@ def cosine_scores(embeddings: jax.Array, needle_idx: jax.Array) -> jax.Array:
     return jnp.dot(needles, normed.T, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=2)
+def _select_topk(scores: jax.Array, k: int, approx: bool,
+                 recall_target: float):
+    """Exact lax.top_k, or TPU's dedicated approximate k-selection op
+    (jax.lax.approx_max_k — hardware-lowered partial reduction with a
+    recall guarantee, the op XLA grew precisely because full sorts are
+    the expensive part of TPU retrieval). aggregate_to_topk is left True,
+    so the returned k are exactly ranked within the candidate set and the
+    output contract (descending scores + indices) is unchanged."""
+    if approx:
+        # barrier: without it, fusing an upstream NHWC->flat reshape into
+        # the score producer makes the TPU backend fail with "Wasn't able
+        # to find a valid iteration window for ApproxTopK" (probed live on
+        # v5e, round 3 — the pixel-similarity chain; plain 2D inputs
+        # compile fine). The op is a custom call and never fuses with its
+        # producer anyway, so the barrier costs nothing.
+        scores = jax.lax.optimization_barrier(scores)
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def cosine_topk(embeddings: jax.Array, needle_idx: jax.Array,
-                k: int):
+                k: int, approx: bool = False, recall_target: float = 0.95):
     """Top-k most-similar rows per needle.
 
     Returns (scores (needles, k), indices (needles, k)), sorted descending —
     matching the reference's full descending sort truncated to nbShowMax
-    (apply_r.lua:275-278).
+    (apply_r.lua:275-278). ``approx=True`` swaps in the TPU-native
+    approximate selection (recall >= ``recall_target`` per row, measured
+    on hardware in benchmarks/tpu_kernel_check.py approx_topk); the exact
+    path stays the default because the reference's rankings are exact.
     """
     scores = cosine_scores(embeddings, needle_idx)
-    return jax.lax.top_k(scores, k)
+    return _select_topk(scores, k, approx, recall_target)
 
 
 @functools.partial(jax.jit, static_argnums=2)
@@ -57,18 +80,18 @@ def pixel_cosine_topk(images: jax.Array, needle_idx: jax.Array, k: int):
 _normalize_jit = jax.jit(normalize_rows)
 
 
-@functools.partial(jax.jit, static_argnums=2)
-def _index_query(normed, queries, k):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _index_query(normed, queries, k, approx=False, recall_target=0.95):
     qn = normalize_rows(queries)
     scores = jnp.dot(qn, normed.T, preferred_element_type=jnp.float32)
-    return jax.lax.top_k(scores, k)
+    return _select_topk(scores, k, approx, recall_target)
 
 
-@functools.partial(jax.jit, static_argnums=2)
-def _index_query_by_idx(normed, idx, k):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _index_query_by_idx(normed, idx, k, approx=False, recall_target=0.95):
     qn = jnp.take(normed, idx, axis=0)  # rows already normalized
     scores = jnp.dot(qn, normed.T, preferred_element_type=jnp.float32)
-    return jax.lax.top_k(scores, k)
+    return _select_topk(scores, k, approx, recall_target)
 
 
 class SimilarityIndex:
@@ -88,10 +111,15 @@ class SimilarityIndex:
     def size(self) -> int:
         return self._normed.shape[0]
 
-    def topk(self, queries: jax.Array, k: int):
-        """(Q, D) query vectors -> (scores (Q, k), indices (Q, k))."""
-        return _index_query(self._normed, queries, k)
+    def topk(self, queries: jax.Array, k: int, *, approx: bool = False,
+             recall_target: float = 0.95):
+        """(Q, D) query vectors -> (scores (Q, k), indices (Q, k)).
+        ``approx=True``: TPU-native approximate selection (serving-scale
+        option; recall measured in benchmarks)."""
+        return _index_query(self._normed, queries, k, approx, recall_target)
 
-    def topk_by_index(self, needle_idx: jax.Array, k: int):
+    def topk_by_index(self, needle_idx: jax.Array, k: int, *,
+                      approx: bool = False, recall_target: float = 0.95):
         """Corpus-row needles (the apply_r pattern, apply_r.lua:270-276)."""
-        return _index_query_by_idx(self._normed, needle_idx, k)
+        return _index_query_by_idx(self._normed, needle_idx, k, approx,
+                                   recall_target)

@@ -193,13 +193,15 @@ def main(argv=None):
                                     else None),
                  "normalize_std": (normalize_stats[1] if normalize_stats
                                    else None)}
-        gio.save_checkpoint(ckpt_path, tree, config=cfg.to_dict(),
-                            extra=extra)
+        saver = (gio.save_checkpoint_async if cfg.async_save
+                 else gio.save_checkpoint)
+        saver(ckpt_path, tree, config=cfg.to_dict(), extra=extra)
         if cfg.keep_history > 0:
             # step-stamped history with keep-N retention (SURVEY.md §5.3)
-            gio.save_checkpoint(f"{ckpt_path}.step{completed_epoch}", tree,
-                                config=cfg.to_dict(), extra=extra,
-                                backup_old=False)
+            saver(f"{ckpt_path}.step{completed_epoch}", tree,
+                  config=cfg.to_dict(), extra=extra, backup_old=False)
+            if cfg.async_save:
+                gio.wait_for_saves()  # step dir must exist for retention
             from ..io.checkpoint import _retain
             _retain(ckpt_path, cfg.keep_history)
         last_saved = completed_epoch
@@ -291,6 +293,7 @@ def main(argv=None):
         if guard.should_stop:
             break
         epoch += 1
+    gio.wait_for_saves()  # join any in-flight async write before exit
 
 if __name__ == "__main__":
     main()

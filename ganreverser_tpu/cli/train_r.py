@@ -115,8 +115,10 @@ def main(argv=None):
             tree = par.gather_replicated(tree, mesh)
             if jax.process_index() != 0:
                 return
-        gio.save_checkpoint(ckpt_path, tree, config=cfg.to_dict(),
-                            extra={"batch": int(ts.step)})
+        saver = (gio.save_checkpoint_async if cfg.async_save
+                 else gio.save_checkpoint)
+        saver(ckpt_path, tree, config=cfg.to_dict(),
+              extra={"batch": int(ts.step)})
         print(f"<trainer> saving network to {ckpt_path}")
 
     # batches run in SEGMENTS: one jitted lax.scan dispatch (and ONE loss
@@ -191,6 +193,7 @@ def main(argv=None):
         if guard.should_stop:
             break
         batch_idx += 1
+    gio.wait_for_saves()  # join any in-flight async write before exit
 
 
 if __name__ == "__main__":

@@ -113,6 +113,7 @@ class GanConfig(Config):
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
     profile_dir: str = _f("", "write a jax.profiler trace of one epoch here")
     prng: str = _f("threefry", "PRNG impl for the root key: threefry (deterministic across backends) | rbg (XLA-native, measured 1.5x faster R training steps on v5e — benchmarks/train_ablate.py)")
+    async_save: bool = _f(False, "overlap checkpoint file IO with the next epoch's device work (device snapshot stays synchronous; errors surface at the next save)")
     keep_history: int = _f(0, "also keep the newest N step-stamped checkpoints (adversarial.step<E>); 0 = only latest + .old")
     coordinator_address: str = _f("", "multi-process: host:port of process 0 (jax.distributed); empty = single-process")
     num_processes: int = _f(0, "multi-process: total process count")
@@ -136,6 +137,7 @@ class RConfig(Config):
     dataset: str = _f("NONE", "directory with *.jpg images (configured but unused for batches; R trains on (G(z), z) pairs, train_r.lua:138-139)")
     fixer: bool = _f(False, "train the error fixer (always-on input dropout)")
     prng: str = _f("threefry", "PRNG impl for the root key: threefry (deterministic across backends) | rbg (XLA-native, measured 1.5x faster R training steps on v5e — benchmarks/train_ablate.py)")
+    async_save: bool = _f(False, "overlap checkpoint file IO with the next segment's device work (device snapshot stays synchronous; errors surface at the next save)")
     # inherited from the G checkpoint at load time (train_r.lua:71-75):
     noiseDim: int = _f(32, "")
     noiseMethod: str = _f("normal", "")

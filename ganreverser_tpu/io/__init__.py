@@ -1,5 +1,6 @@
 from .checkpoint import (adversarial_name, exists, g_pretrained_name,
                          load_checkpoint, pretrained_name, r_name,
-                         save_checkpoint)
+                         save_checkpoint, save_checkpoint_async,
+                         wait_for_saves)
 from .metrics import MetricsWriter, StepTimer, nan_guard, profiler_trace
 from .preemption import PreemptionGuard

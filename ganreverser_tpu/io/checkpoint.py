@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any, Optional
 
 import jax
@@ -91,6 +92,65 @@ def save_checkpoint(path: str, tree: Any, *, config: Optional[dict] = None,
 
     if keep is not None:
         _retain(path, keep)
+    return path
+
+
+# -- async saving -----------------------------------------------------------
+# At the flagship geometry a train checkpoint is hundreds of MB (G+D params
+# + adam moments); the zip write + renames take seconds on a 1-core host.
+# Overlap them with the next epoch's device work. The device->host snapshot
+# stays SYNCHRONOUS in the caller: the epoch programs donate their input
+# buffers, so a background device_get could race the next dispatch's
+# donation and read a deleted buffer.
+
+_save_lock = threading.Lock()
+_save_thread: Optional[threading.Thread] = None
+_save_error: Optional[BaseException] = None
+
+
+def wait_for_saves() -> None:
+    """Join any in-flight async save; re-raise its error here (the train
+    CLIs call this before final saves and at exit, so a failed background
+    write can never be silently dropped)."""
+    global _save_thread, _save_error
+    with _save_lock:
+        t, _save_thread = _save_thread, None
+    if t is not None:
+        t.join()
+    err = _save_error
+    if err is not None:
+        _save_error = None
+        raise err
+
+
+def save_checkpoint_async(path: str, tree: Any, *,
+                          config: Optional[dict] = None,
+                          extra: Optional[dict] = None,
+                          backup_old: bool = True,
+                          keep: Optional[int] = None) -> str:
+    """``save_checkpoint`` with the file IO in a background thread.
+
+    Joins the previous in-flight save first (at most one outstanding, so
+    the ``.old`` backup ordering is preserved), snapshots the pytree to
+    host synchronously, then writes manifest+npz and performs the renames
+    off-thread. Errors surface on the next call or ``wait_for_saves()``.
+    """
+    global _save_thread
+    wait_for_saves()
+    host_tree = jax.device_get(tree)
+
+    def work():
+        global _save_error
+        try:
+            save_checkpoint(path, host_tree, config=config, extra=extra,
+                            backup_old=backup_old, keep=keep)
+        except BaseException as e:  # noqa: BLE001 — stored, re-raised on join
+            _save_error = e
+
+    t = threading.Thread(target=work, name="ckpt-save", daemon=True)
+    with _save_lock:
+        _save_thread = t
+    t.start()
     return path
 
 

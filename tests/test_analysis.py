@@ -209,3 +209,30 @@ def test_e2e_program_g_apply_override(key):
     for a, b in zip(base(gv, rv, z), over(gv, rv, z)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_topk_approx_contract(key):
+    """approx=True (TPU-native approx_max_k) keeps the output contract:
+    shapes, descending order, and on CPU (sort-based fallback) exact
+    agreement with lax.top_k. Hardware recall/time is measured in
+    benchmarks/tpu_kernel_check.py approx_topk."""
+    from ganreverser_tpu.analysis.e2e import topk_all
+    from ganreverser_tpu.analysis.similarity import (SimilarityIndex,
+                                                     cosine_topk)
+
+    emb = jax.random.normal(key, (64, 16), jnp.float32)
+    v_e, i_e = cosine_topk(emb, jnp.arange(8), 5)
+    v_a, i_a = cosine_topk(emb, jnp.arange(8), 5, True, 0.95)
+    assert v_a.shape == v_e.shape and i_a.shape == i_e.shape
+    assert bool(jnp.all(v_a[:, :-1] >= v_a[:, 1:]))  # descending
+    np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_e), rtol=1e-6)
+
+    va, ia = topk_all(emb, 5, needle_chunk=16, approx=True)
+    ve, ie = topk_all(emb, 5, needle_chunk=16)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(ve), rtol=1e-6)
+
+    idx = SimilarityIndex(emb)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (4, 16))
+    sv, si = idx.topk(q, 3, approx=True)
+    sve, sie = idx.topk(q, 3)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(sve), rtol=1e-6)

@@ -72,3 +72,33 @@ def test_tuple_and_scalar_leaves(tmp_path):
     assert tree2["s"] == "hello" and tree2["f"] == 1.5
     assert tree2["none"] is None
     assert np.allclose(tree2["lst"][0], 1.0) and tree2["lst"][1] == 2
+
+
+def test_async_save(tmp_path):
+    """save_checkpoint_async: round-trip parity, serialized ordering
+    (.old backup holds the previous async save's content), and error
+    propagation through wait_for_saves()."""
+    import pytest
+
+    path = str(tmp_path / "ckpt_async")
+    t1 = {"w": np.arange(4, dtype=np.float32)}
+    t2 = {"w": np.arange(4, dtype=np.float32) * 10}
+    gio.save_checkpoint_async(path, t1, extra={"gen": 1})
+    gio.save_checkpoint_async(path, t2, extra={"gen": 2})  # joins the first
+    gio.wait_for_saves()
+
+    tree, _, extra = gio.load_checkpoint(path)
+    assert extra["gen"] == 2 and _tree_equal(tree, t2)
+    old_tree, _, old_extra = gio.load_checkpoint(path + ".old")
+    assert old_extra["gen"] == 1 and _tree_equal(old_tree, t1)
+
+    # a failing background write surfaces on the next join, then clears
+    # (parent is a regular FILE -> the worker's makedirs raises; chmod
+    # tricks don't work here because tests run as root)
+    blocker = tmp_path / "afile"
+    blocker.write_text("not a directory")
+    bad = str(blocker / "ckpt")
+    gio.save_checkpoint_async(bad, t1)
+    with pytest.raises((NotADirectoryError, FileExistsError)):
+        gio.wait_for_saves()
+    gio.wait_for_saves()  # error consumed; subsequent joins are clean

@@ -23,9 +23,12 @@ def workdir(tmp_path_factory):
 def trained_gan(workdir):
     from ganreverser_tpu.cli import train
     save = os.path.join(workdir, "logs")
+    # --async_save here exercises the background-write path (ordering +
+    # exit join) through the real CLI; io semantics unit-tested in
+    # tests/test_checkpoint.py::test_async_save
     train.main(["--save", save, "--epochs", "2", "--N_epoch", "2",
                 "--batchSize", "8", "--noiseDim", "8", "--saveFreq", "1",
-                "--nopretraining"] + GEOM)
+                "--nopretraining", "--async_save"] + GEOM)
     assert os.path.isfile(os.path.join(save, "adversarial", "manifest.json"))
     return save
 
