@@ -49,13 +49,18 @@ def distributed_generate_and_invert(G: Module, R: Module, g_variables: dict,
 
 
 def distributed_cosine_topk(embeddings: jax.Array, needle_idx: jax.Array,
-                            k: int, mesh: Mesh):
+                            k: int, mesh: Mesh, approx: bool = False,
+                            recall_target: float = 0.95):
     """Global top-k cosine search over 'data'-sharded embeddings.
 
     Per shard: normalize locally, matmul against the (replicated) gathered
     needles, local top-k; then all-gather the (value, global-index)
-    candidates over ICI and re-top-k. Exact — the global top-k is a subset
-    of the union of local top-ks.
+    candidates over ICI and re-top-k. Exact by default — the global top-k
+    is a subset of the union of local top-ks. ``approx=True`` swaps the
+    LOCAL selection for TPU's native approximate k-selection (the
+    per-shard recall bound carries to the global result, since the final
+    re-top-k over the gathered candidates stays exact); measured 17-38x
+    on the single-chip all-N shape (RESULTS.md round 3).
     """
     n, d = embeddings.shape
     q = needle_idx.shape[0]
@@ -64,11 +69,12 @@ def distributed_cosine_topk(embeddings: jax.Array, needle_idx: jax.Array,
     kk = min(k, local_n)
 
     def local(emb_shard, needles):
+        from .similarity import _select_topk
         shard_id = jax.lax.axis_index(DATA_AXIS)
         en = normalize_rows(emb_shard)
         qn = normalize_rows(needles)
         scores = jnp.dot(qn, en.T, preferred_element_type=jnp.float32)
-        v, i = jax.lax.top_k(scores, kk)              # (q, kk)
+        v, i = _select_topk(scores, kk, approx, recall_target)  # (q, kk)
         gi = i + shard_id * local_n
         v_all = jax.lax.all_gather(v, DATA_AXIS, axis=1, tiled=True)
         gi_all = jax.lax.all_gather(gi, DATA_AXIS, axis=1, tiled=True)
