@@ -51,7 +51,9 @@ def topk_all(embeddings: jax.Array, k: int,
     normed = normalize_rows(embeddings)
     n_chunks = -(-n // needle_chunk)
     pad = n_chunks * needle_chunk - n
-    q = jnp.concatenate([normed, normed[:pad]]) if pad else normed
+    # zero-row padding (NOT normed[:pad] — that under-pads when n < pad,
+    # i.e. a corpus smaller than half the needle chunk)
+    q = jnp.pad(normed, ((0, pad), (0, 0))) if pad else normed
     q = q.reshape(n_chunks, needle_chunk, -1)
 
     def search(qc):

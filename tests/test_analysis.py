@@ -166,6 +166,17 @@ def test_topk_all_matches_cosine_topk(key):
     assert np.array_equal(np.asarray(i), np.asarray(ref_i))
 
 
+def test_topk_all_tiny_corpus(key):
+    """Corpus smaller than HALF the needle chunk (n < pad): the zero-row
+    padding path — regression for the old normed[:pad] under-pad crash."""
+    emb = jax.random.normal(key, (5, 16))  # n=5, chunk=16 -> pad=11 > n
+    v, i = A.topk_all(emb, 3, needle_chunk=16)
+    ref_v, ref_i = A.cosine_topk(emb, jnp.arange(5), 3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i), np.asarray(ref_i))
+
+
 def test_e2e_program_matches_serial(key):
     """The fused generate->invert->top-k program (analysis/e2e.py) produces
     the same embeddings and rankings as the three-dispatch serial path."""
