@@ -18,6 +18,7 @@ eval rooflines). For f32 runs the achieved TFLOP/s is reported without an
 MFU claim (the MXU's f32 path has a different, layout-dependent peak).
 
 Usage: python benchmarks/roofline.py [--cpu] [--f32] [--smoke]
+                                     [--batch N]        # default 256
                                      [d] [g] [dg] [r]   # default: all
 Each line: {"metric": ..., "flops_g": ..., "ms": ..., "tflops": ...,
 "mfu_pct": ...}. Sections can be run one per process (the axon tunnel
@@ -55,6 +56,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     smoke = "--smoke" in argv  # tiny shapes: exercises the script, not perf
     f32 = "--f32" in argv or smoke  # bf16 convs are glacial on CPU
+    batch_override = None
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        batch_override = int(argv[i + 1])
+        del argv[i:i + 2]
 
     import jax
     import jax.numpy as jnp
@@ -68,6 +74,8 @@ def main(argv=None):
     # (64x64 training steps take minutes per step on the CPU backend)
     dims = (3, 16, 16) if smoke else (3, 64, 64)
     nd, batch = 100, (16 if smoke else 256)
+    if batch_override:
+        batch = batch_override
     dtype = jnp.float32 if f32 else jnp.bfloat16
     tag = "f32" if f32 else "bf16"
     n_steps = 2 if smoke else 10  # amortizing scan length

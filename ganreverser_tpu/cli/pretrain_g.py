@@ -72,6 +72,7 @@ def main(argv=None):
         print(f"<trainer> saving network to {ckpt_path}")
 
     epoch = 1
+    plot_data = []  # [epoch, loss] rows (PLOT_DATA, pretrain_g.lua:239-244)
     while True:
         if 0 <= cfg.epochs < epoch:  # fixed inverted check (pretrain_g.lua:112)
             print("<trainer> Last epoch reached.")
@@ -92,6 +93,11 @@ def main(argv=None):
             ts, loss = step(ts, batch, sub)
         print(f"<trainer> last batch loss: {float(loss):.4f}")
         writer.scalar("ae_loss", float(loss), step=epoch)
+        plot_data.append([epoch, float(loss)])
+        if not cfg.noplot:
+            # pretrain_g.lua:244's 'G Loss' display window, as a PNG
+            writer.chart("plot_g_loss", plot_data, ["epoch", "G Loss"],
+                         title="G Loss", subdir="images_pretrain_g")
 
         if not cfg.noplot:
             sample = data[:32]

@@ -286,6 +286,11 @@ def main(argv=None):
         # loss history carried in the checkpoint (PLOT_DATA, train.lua:256)
         plot_data.append([epoch, float(d_losses.mean()),
                           float(g_losses.mean()), acc])
+        if not cfg.noplot:
+            # the display loss window, as a PNG artifact (io/plots.py)
+            writer.chart("plot_loss", plot_data,
+                         ["epoch", "D loss", "G loss", "D acc"],
+                         title="Adversarial training")
         timer.tick(epoch)
 
         if epoch % cfg.saveFreq == 0 or guard.should_stop:

@@ -143,6 +143,7 @@ def main(argv=None):
         return min(c for c in cands if c >= i)
 
     losses = []
+    plot_data = []  # [batch, low, avg, high] rows (train_r.lua:192-204)
     batch_idx = 1
     while True:
         if 0 <= cfg.nbBatches < batch_idx:
@@ -177,6 +178,15 @@ def main(argv=None):
             writer.scalar("r_loss_low", lo, step=batch_idx)
             writer.scalar("r_loss_avg", avg, step=batch_idx)
             writer.scalar("r_loss_high", hi, step=batch_idx)
+            plot_data.append([batch_idx, float(lo), float(avg), float(hi)])
+            if not cfg.noplot:
+                # the reference's 'R Loss' display window (train_r.lua:204;
+                # its x label says 'epoch' but the value is the batch index
+                # — labeled honestly here), rendered to a PNG
+                writer.chart("plot_r_loss", plot_data,
+                             ["batch", "R loss (low)", "R loss (avg)",
+                              "R loss (high)"],
+                             title="R Loss", subdir="images_r")
         if (batch_idx % 25 == 0 and not cfg.noplot
                 and jax.process_count() == 1):
             # G->R->G round-trip preview grid (train_r.lua:207-218)

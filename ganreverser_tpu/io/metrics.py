@@ -57,6 +57,18 @@ class MetricsWriter:
         save_images_as_grid(path, np.asarray(images), grid_h, grid_w, epoch)
         return path
 
+    def chart(self, tag: str, rows, labels, *, title: str = "",
+              subdir: str = "images") -> Optional[str]:
+        """Render a DISP.plot-style loss chart (io/plots.py) to
+        ``<save>/<subdir>/<tag>.png``, overwritten each call — the
+        file is the live 'window', like the reference's display plots
+        (train_r.lua:204, pretrain_g.lua:244)."""
+        if not self.active or not rows:
+            return None
+        from .plots import save_chart
+        path = os.path.join(self.save_dir, subdir, f"{tag}.png")
+        return save_chart(path, rows, labels, title=title)
+
     def close(self):
         if self._f is not None:
             self._f.close()

@@ -44,3 +44,35 @@ def test_profiler_trace_noop():
         pass
     with profiler_trace(""):
         pass
+
+
+def test_render_chart_basic():
+    """io/plots.py: DISP.plot-style rows -> uint8 RGB raster with the
+    series actually drawn (non-background pixels present)."""
+    from ganreverser_tpu.io.plots import render_chart
+    rows = [[e, 1.0 / e, 0.5 + 0.1 * e, 2.0] for e in range(1, 20)]
+    img = render_chart(rows, ["epoch", "D loss", "G loss", "D acc"],
+                       title="t", width=320, height=200)
+    assert img.shape == (200, 320, 3) and img.dtype == "uint8"
+    assert (img != 255).any(axis=-1).sum() > 500  # axes+grid+3 polylines
+
+
+def test_render_chart_degenerate():
+    """Empty rows, a single point, and NaN samples must not crash or
+    blank the chart (the NaN point is skipped, the rest drawn)."""
+    from ganreverser_tpu.io.plots import render_chart
+    for rows in ([], [[1, 0.5]],
+                 [[1, 0.5], [2, float("nan")], [3, 0.25]],
+                 [[1, 1.0], [2, 1.0]]):  # constant y -> padded range
+        img = render_chart(rows, ["epoch", "loss"])
+        assert img.shape == (360, 640, 3)
+
+
+def test_writer_chart_artifact(tmp_path):
+    """MetricsWriter.chart writes (and overwrites) the PNG window."""
+    from ganreverser_tpu.io.metrics import MetricsWriter
+    w = MetricsWriter(str(tmp_path), name="t")
+    p = w.chart("plot_loss", [[1, 0.9], [2, 0.5]], ["epoch", "loss"])
+    assert p and (tmp_path / "images" / "plot_loss.png").exists()
+    assert w.chart("plot_loss", [], ["epoch", "loss"]) is None  # no rows
+    w.close()
