@@ -16,7 +16,11 @@ real JPEG files on this machine:
 A fixture directory of generated JPEGs is created under /tmp on first use
 (flagged in the output). One JSON line per measurement.
 
-Usage: python benchmarks/ingest.py [--n 2048] [--hw 64]
+Usage: python benchmarks/ingest.py [--n 2048] [--hw 64] [--src 96]
+
+``--src`` sets the fixture JPEG size: at >= 2x the target, the decoder's
+DCT-scaled draft mode (dataset.py::_decode_resize) kicks in — pass e.g.
+--src 192 or 256 to measure the CelebA-shaped case.
 """
 from __future__ import annotations
 
@@ -65,13 +69,15 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     n = int(argv[argv.index("--n") + 1]) if "--n" in argv else 2048
     hw = int(argv[argv.index("--hw") + 1]) if "--hw" in argv else 64
+    src = int(argv[argv.index("--src") + 1]) if "--src" in argv else 96
 
     from ganreverser_tpu.data.dataset import Dataset
     from ganreverser_tpu.data.colorspace import rgb_to_colorspace
     from ganreverser_tpu import native
 
-    fixture = make_fixture(n)
-    print(f"[ingest] fixture: {fixture} ({n} JPEGs), target {hw}x{hw}, "
+    fixture = make_fixture(n, src)
+    print(f"[ingest] fixture: {fixture} ({n} JPEGs @{src}x{src}), "
+          f"target {hw}x{hw}, "
           f"native C++ imageops available: {native.available()}",
           file=sys.stderr)
 

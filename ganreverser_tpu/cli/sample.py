@@ -141,7 +141,11 @@ def main(argv=None):
                         [chunk_dev, jnp.tile(chunk_dev[:1],
                                              (chunk - count, 1, 1, 1))])
                 v, i = chunk_nearest(best_flat, chunk_dev)
-                v, i = np.asarray(v), np.minimum(np.asarray(i), count - 1)
+                v, i = np.asarray(v), np.asarray(i)
+                # a padded row IS row 0, so an (unlikely) argmin landing on
+                # padding must map back to 0 — clamping to count-1 would
+                # pair row-0's distance with the wrong image
+                i = np.where(i >= count, 0, i)
                 better = v < best_d
                 if best_img is None:
                     best_img = np.empty((16,) + imgs_np.shape[1:],

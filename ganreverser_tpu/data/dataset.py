@@ -52,11 +52,21 @@ def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
 
 
 def _decode_resize(path: str, height: int, width: int) -> np.ndarray:
-    """JPEG decode (PIL's native codec) + bilinear resize via the C++
-    image-ops library (native/imageops.cc; numpy fallback inside)."""
+    """JPEG decode (PIL's libjpeg-turbo codec) + bilinear resize via the
+    C++ image-ops library (native/imageops.cc; numpy fallback inside).
+
+    ``draft`` asks libjpeg for DCT-domain scaled decoding (1/2, 1/4, 1/8)
+    down to the smallest scale still >= the target — for originals larger
+    than 2x the target (e.g. CelebA 178x218 -> 64x64) most of the IDCT
+    and all of the full-size pixel traffic is skipped, then the final
+    bilinear pass does the exact geometry. Decoding is the measured host
+    ingest bottleneck (RESULTS.md round 3: ~0.4 ms/img of the ~0.5 ms
+    total); the reference decodes full-size always (dataset.lua:148)."""
     from PIL import Image
     from ..native import resize_bilinear_batch
     with Image.open(path) as im:
+        if im.format == "JPEG":
+            im.draft("RGB", (width, height))
         im = im.convert("RGB")
         arr = np.asarray(im, np.float32) / 255.0
     if arr.shape[:2] != (height, width):

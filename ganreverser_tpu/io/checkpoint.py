@@ -138,6 +138,12 @@ def save_checkpoint_async(path: str, tree: Any, *,
     global _save_thread
     wait_for_saves()
     host_tree = jax.device_get(tree)
+    # snapshot the JSON metadata too: the caller keeps mutating its
+    # plot_data/config objects during the next epoch while the background
+    # thread serializes them (train.py passes the live list)
+    import copy
+    config = copy.deepcopy(config)
+    extra = copy.deepcopy(extra)
 
     def work():
         global _save_error

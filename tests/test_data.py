@@ -163,3 +163,29 @@ def test_hostmem_madvise_toggle(tmp_path):
     big = np.empty((2048, 64, 64, 3), np.float32)  # >4MB threshold path
     big[:] = 1.0
     assert float(big.sum()) == big.size
+
+
+def test_decode_draft_scaling(tmp_path):
+    """DCT-scaled JPEG decode (dataset.py::_decode_resize draft mode):
+    originals < 2x the target decode bit-identically to the full path;
+    >= 2x originals use libjpeg's scaled decode, which must stay close to
+    full-decode+bilinear (it is an approximation, flagged in the
+    docstring) and exact in shape/range."""
+    from PIL import Image
+    from ganreverser_tpu.data.dataset import _decode_resize
+    from ganreverser_tpu.native import resize_bilinear_batch
+    y, x = np.mgrid[0:256, 0:256] / 256.0
+    smooth = np.stack([np.sin(4 * y) * 0.5 + 0.5, x, y * x], -1)
+    for size in (96, 256):
+        img = smooth[:size, :size]
+        p = tmp_path / f"s{size}.jpg"
+        Image.fromarray((img * 255).astype(np.uint8)).save(p, quality=95)
+        out = _decode_resize(str(p), 64, 64)
+        with Image.open(p) as im:
+            full = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        ref = resize_bilinear_batch(full[None], 64, 64)[0]
+        assert out.shape == (64, 64, 3)
+        if size < 128:  # draft can't scale: identical to the full path
+            np.testing.assert_array_equal(out, ref)
+        else:
+            assert np.abs(out - ref).max() < 0.05
