@@ -67,12 +67,15 @@ def cosine_topk(embeddings: jax.Array, needle_idx: jax.Array,
     return _select_topk(scores, k, approx, recall_target)
 
 
-@functools.partial(jax.jit, static_argnums=2)
-def pixel_cosine_topk(images: jax.Array, needle_idx: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def pixel_cosine_topk(images: jax.Array, needle_idx: jax.Array, k: int,
+                      approx: bool = False, recall_target: float = 0.95):
     """The reference's second measure: cosine over flattened pixels
-    (apply_r.lua:307-314)."""
+    (apply_r.lua:307-314). ``approx`` as in cosine_topk (the NHWC->flat
+    reshape feeding approx_max_k is exactly the chain that needs
+    _select_topk's optimization_barrier)."""
     flat = images.reshape(images.shape[0], -1)
-    return cosine_topk(flat, needle_idx, k)
+    return cosine_topk(flat, needle_idx, k, approx, recall_target)
 
 
 # module-level jitted query programs: shared across SimilarityIndex

@@ -218,14 +218,16 @@ def main(argv=None):
     # --- ④ similarity search (apply_r.lua:169-172, 265-318) ---
     print("Finding faces by similarity...")
     needles = jnp.array([(i + 1) * 100 - 1 for i in range(cfg.needles)])
-    if use_pallas_kernels:
+    if use_pallas_kernels and not cfg.approx:
         from ..ops.topk_kernel import cosine_topk_pallas
         attr_topk = cosine_topk_pallas(attributes, needles, 100)
         pix_topk = cosine_topk_pallas(
             images.reshape(images.shape[0], -1), needles, 100)
     else:
-        attr_topk = A.cosine_topk(attributes, needles, 100)
-        pix_topk = A.pixel_cosine_topk(images, needles, 100)
+        # --approx: TPU-native approximate k-selection on both measures
+        # (opt-in; the kernels above are exact, so approx wins the branch)
+        attr_topk = A.cosine_topk(attributes, needles, 100, cfg.approx)
+        pix_topk = A.pixel_cosine_topk(images, needles, 100, cfg.approx)
     for tag, (scores, idx) in (("attributes", attr_topk),
                                ("pixelwise", pix_topk)):
         idx = np.asarray(idx)

@@ -70,6 +70,15 @@ def test_full_pipeline(workdir, trained_gan):
                   "--batchSize", "32", "--pallas"])
     assert os.path.isfile(os.path.join(out_p, "similar_attributes_01.jpg"))
 
+    # the search section via TPU-native approximate k-selection (--approx;
+    # exact sort-fallback on CPU, hardware recall measured in benchmarks)
+    out_a = os.path.join(workdir, "apply_out_approx")
+    apply_r.main(["--save", save, "--G", g_ckpt, "--writeto", out_a,
+                  "--N", "250", "--clusters", "4", "--kmeans_iters", "2",
+                  "--needles", "2", "--anomalies_n", "64",
+                  "--batchSize", "32", "--approx"])
+    assert os.path.isfile(os.path.join(out_a, "similar_pixelwise_02.jpg"))
+
     # dp+tp training over the 8 virtual devices (--mesh flags)
     from ganreverser_tpu.cli import train
     train.main(["--save", os.path.join(workdir, "mesh_logs"),
