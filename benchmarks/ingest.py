@@ -94,7 +94,7 @@ def main(argv=None):
 
     # --- isolate the post-decode kernels: C++ vs numpy ------------------
     rng = np.random.default_rng(1)
-    batch = rng.random((512, 96, 96, 3), np.float32)
+    batch = rng.random((512, src, src, 3), np.float32)
     from ganreverser_tpu.native import imageops as io_native
 
     def timeit(fn, reps=5):
@@ -107,12 +107,12 @@ def main(argv=None):
         return best
 
     t_cpp = timeit(lambda: native.resize_bilinear_batch(batch, hw, hw))
-    _emit("resize 96->64 C++ batch512"
-          if native.available() else "resize 96->64 (numpy; no C++ lib)",
+    _emit(f"resize {src}->{hw} C++ batch512"
+          if native.available() else f"resize {src}->{hw} (numpy; no C++ lib)",
           512 / t_cpp, "img/s")
     if native.available():
         t_np = timeit(lambda: io_native._resize_numpy(batch, hw, hw))
-        _emit("resize 96->64 numpy batch512", 512 / t_np, "img/s",
+        _emit(f"resize {src}->{hw} numpy batch512", 512 / t_np, "img/s",
               cpp_speedup=round(t_np / t_cpp, 2))
 
     small = rng.random((512, hw, hw, 3), np.float32)

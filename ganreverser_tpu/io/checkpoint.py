@@ -108,6 +108,28 @@ _save_thread: Optional[threading.Thread] = None
 _save_error: Optional[BaseException] = None
 
 
+def _atexit_join() -> None:
+    """Join an in-flight background save at interpreter exit. The writer
+    thread is non-daemon, so CPython would wait for it anyway — but only
+    AFTER atexit; joining here surfaces a stored write error to stderr on
+    the abnormal-exit path (an exception between saves would otherwise
+    swallow it), without raising during shutdown."""
+    global _save_thread
+    with _save_lock:
+        t, _save_thread = _save_thread, None
+    if t is not None:
+        t.join()
+    if _save_error is not None:
+        import sys
+        print(f"[checkpoint] background save failed: {_save_error!r}",
+              file=sys.stderr)
+
+
+import atexit as _atexit  # noqa: E402 — registered once at import
+
+_atexit.register(_atexit_join)
+
+
 def wait_for_saves() -> None:
     """Join any in-flight async save; re-raise its error here (the train
     CLIs call this before final saves and at exit, so a failed background
@@ -153,7 +175,12 @@ def save_checkpoint_async(path: str, tree: Any, *,
         except BaseException as e:  # noqa: BLE001 — stored, re-raised on join
             _save_error = e
 
-    t = threading.Thread(target=work, name="ckpt-save", daemon=True)
+    # NON-daemon: a daemon writer killed mid-rename by an abnormal main-
+    # thread exit (NaN abort, uncaught error) could leave only <path>.old
+    # on disk — the newest checkpoint silently destroyed. Non-daemon means
+    # the interpreter waits for the in-flight write even when the train
+    # loop dies before its wait_for_saves().
+    t = threading.Thread(target=work, name="ckpt-save", daemon=False)
     with _save_lock:
         _save_thread = t
     t.start()

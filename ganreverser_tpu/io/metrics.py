@@ -62,8 +62,9 @@ class MetricsWriter:
         """Render a DISP.plot-style loss chart (io/plots.py) to
         ``<save>/<subdir>/<tag>.png``, overwritten each call — the
         file is the live 'window', like the reference's display plots
-        (train_r.lua:204, pretrain_g.lua:244)."""
-        if not self.active or not rows:
+        (train_r.lua:204, pretrain_g.lua:244). Empty ``rows`` still write
+        the empty-axes chart, so the artifact exists from the first call."""
+        if not self.active:
             return None
         from .plots import save_chart
         path = os.path.join(self.save_dir, subdir, f"{tag}.png")

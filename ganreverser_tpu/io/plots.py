@@ -102,18 +102,24 @@ def render_chart(rows: Sequence[Sequence[float]], labels: Sequence[str],
     draw.line([(x0, y0), (x1, y0)], fill=_AXIS)
     draw.line([(x0, y0), (x0, y1)], fill=_AXIS)
 
-    # series polylines (finite segments only)
+    # series polylines. A non-finite sample BREAKS the line (a visible
+    # gap, like the reference display's undrawn point) — connecting the
+    # neighbours through it would fabricate a segment where data is NaN.
     for s in range(n_series):
         color = _COLORS[s % len(_COLORS)]
-        pts = [(px(float(r[0])), py(float(r[1 + s])))
-               for r in rows
-               if len(r) > 1 + s and math.isfinite(r[0])
-               and math.isfinite(r[1 + s])]
-        if len(pts) == 1:
-            cx, cy = pts[0]
-            draw.ellipse([cx - 2, cy - 2, cx + 2, cy + 2], fill=color)
-        elif pts:
-            draw.line(pts, fill=color, width=1)
+        segments: list = [[]]
+        for r in rows:
+            if (len(r) > 1 + s and math.isfinite(r[0])
+                    and math.isfinite(r[1 + s])):
+                segments[-1].append((px(float(r[0])), py(float(r[1 + s]))))
+            elif segments[-1]:
+                segments.append([])
+        for pts in segments:
+            if len(pts) == 1:
+                cx, cy = pts[0]
+                draw.ellipse([cx - 2, cy - 2, cx + 2, cy + 2], fill=color)
+            elif pts:
+                draw.line(pts, fill=color, width=1)
 
     # legend, top-right inside the plot area
     ly = y1 + 4
@@ -129,10 +135,10 @@ def render_chart(rows: Sequence[Sequence[float]], labels: Sequence[str],
 
 def save_chart(path: str, rows: Sequence[Sequence[float]],
                labels: Sequence[str], *, title: str = "",
-               width: int = 640, height: int = 360) -> Optional[str]:
-    """Render and write the chart PNG (parents created). Returns ``path``,
-    or None for empty ``rows`` with no series to size (still writes the
-    empty-axes chart so the artifact always exists once training starts)."""
+               width: int = 640, height: int = 360) -> str:
+    """Render and write the chart PNG (parents created). Returns ``path``.
+    Empty ``rows`` write the empty-axes '(no data)' chart, so the artifact
+    always exists once training starts."""
     from PIL import Image
     arr = render_chart(rows, labels, title=title, width=width, height=height)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

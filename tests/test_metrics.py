@@ -74,5 +74,7 @@ def test_writer_chart_artifact(tmp_path):
     w = MetricsWriter(str(tmp_path), name="t")
     p = w.chart("plot_loss", [[1, 0.9], [2, 0.5]], ["epoch", "loss"])
     assert p and (tmp_path / "images" / "plot_loss.png").exists()
-    assert w.chart("plot_loss", [], ["epoch", "loss"]) is None  # no rows
+    # empty rows still write the empty-axes chart (artifact always exists)
+    assert w.chart("plot_empty", [], ["epoch", "loss"]) is not None
+    assert (tmp_path / "images" / "plot_empty.png").exists()
     w.close()
