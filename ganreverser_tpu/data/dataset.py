@@ -79,7 +79,8 @@ class Dataset:
 
     def __init__(self, dirs: Sequence[str], *, height: int = 32,
                  width: int = 32, colorspace: str = "rgb",
-                 file_extension: str = "jpg", seed: int = 1):
+                 file_extension: str = "jpg", seed: int = 1,
+                 decode_workers: Optional[int] = None):
         disable_hugepage_madvise()  # measured 72x fault-stall fix (hostmem.py)
         self.dirs = list(dirs)
         self.height = height
@@ -89,6 +90,14 @@ class Dataset:
         self._rng = np.random.default_rng(seed)
         self._paths: Optional[List[str]] = None
         self.synthetic = len(self.dirs) == 1 and self.dirs[0] == "synthetic"
+        # JPEG decode is the measured ingest bottleneck (RESULTS.md round
+        # 3: ~0.4 ms/img of ~0.5 total) and PIL releases the GIL inside
+        # libjpeg, so a thread pool scales decode on multi-core TPU hosts.
+        # Defaults to the core count; a 1-core host (like the bench host)
+        # stays on the serial loop.
+        if decode_workers is None:
+            decode_workers = os.cpu_count() or 1
+        self.decode_workers = max(1, int(decode_workers))
 
     @property
     def paths(self) -> List[str]:
@@ -105,10 +114,26 @@ class Dataset:
     def _decode_into(self, paths: Sequence[str]) -> np.ndarray:
         """Decode each file straight into one preallocated batch tensor
         (no per-image array list + np.stack copy — the decode loop is the
-        host hot path, dataset.lua:148-151)."""
+        host hot path, dataset.lua:148-151). With ``decode_workers > 1``
+        the files decode in a thread pool: each worker writes its own
+        row of ``out`` (disjoint — no synchronization needed) and PIL's
+        libjpeg call releases the GIL, so decode parallelizes on real
+        multi-core hosts."""
         out = np.empty((len(paths), self.height, self.width, 3), np.float32)
-        for i, p in enumerate(paths):
-            out[i] = _decode_resize(p, self.height, self.width)
+        workers = min(self.decode_workers, len(paths))
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def decode_row(i):
+                out[i] = _decode_resize(paths[i], self.height, self.width)
+
+            with ThreadPoolExecutor(workers) as ex:
+                # list(...) drains the iterator so worker exceptions
+                # propagate here instead of being silently dropped
+                list(ex.map(decode_row, range(len(paths))))
+        else:
+            for i, p in enumerate(paths):
+                out[i] = _decode_resize(p, self.height, self.width)
         return out
 
     def load_images(self, start_at: int, count: int) -> np.ndarray:

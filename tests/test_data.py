@@ -189,3 +189,18 @@ def test_decode_draft_scaling(tmp_path):
             np.testing.assert_array_equal(out, ref)
         else:
             assert np.abs(out - ref).max() < 0.05
+
+
+def test_decode_workers_parity(tmp_path, rng):
+    """Thread-pool decode (decode_workers>1) produces bit-identical
+    batches to the serial loop — each worker writes a disjoint row."""
+    from PIL import Image
+    for i in range(12):
+        arr = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.jpg")
+    kw = dict(height=16, width=16, colorspace="rgb")
+    serial = D.Dataset([str(tmp_path)], decode_workers=1, **kw)
+    pooled = D.Dataset([str(tmp_path)], decode_workers=4, **kw)
+    np.testing.assert_array_equal(serial.load_images(0, 12),
+                                  pooled.load_images(0, 12))
+    assert pooled.decode_workers == 4
