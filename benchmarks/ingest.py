@@ -17,6 +17,7 @@ A fixture directory of generated JPEGs is created under /tmp on first use
 (flagged in the output). One JSON line per measurement.
 
 Usage: python benchmarks/ingest.py [--n 2048] [--hw 64] [--src 96]
+                                   [--workers N]
 
 ``--src`` sets the fixture JPEG size: at >= 2x the target, the decoder's
 DCT-scaled draft mode (dataset.py::_decode_resize) kicks in — pass e.g.
@@ -70,6 +71,9 @@ def main(argv=None):
     n = int(argv[argv.index("--n") + 1]) if "--n" in argv else 2048
     hw = int(argv[argv.index("--hw") + 1]) if "--hw" in argv else 64
     src = int(argv[argv.index("--src") + 1]) if "--src" in argv else 96
+    # decode thread pool (Dataset decode_workers); default = cpu count
+    workers = (int(argv[argv.index("--workers") + 1])
+               if "--workers" in argv else None)
 
     from ganreverser_tpu.data.dataset import Dataset
     from ganreverser_tpu.data.colorspace import rgb_to_colorspace
@@ -83,7 +87,8 @@ def main(argv=None):
 
     # --- the real loader path: decode + C++ resize + colorspace ---------
     for cs in ("rgb", "yuv"):
-        ds = Dataset([fixture], height=hw, width=hw, colorspace=cs)
+        ds = Dataset([fixture], height=hw, width=hw, colorspace=cs,
+                     decode_workers=workers)
         ds.load_images(0, 32)  # warm the path cache / page cache
         t0 = time.perf_counter()
         out = ds.load_images(0, n)
@@ -121,7 +126,8 @@ def main(argv=None):
 
     # --- prefetch pipeline: loader thread + simulated consumer ----------
     from ganreverser_tpu.data.prefetch import prefetch_to_device
-    ds = Dataset([fixture], height=hw, width=hw, colorspace="rgb")
+    ds = Dataset([fixture], height=hw, width=hw, colorspace="rgb",
+                 decode_workers=workers)
     bs = 128
     n_batches = n // bs
     ds.load_images(0, 32)  # page-cache warm
