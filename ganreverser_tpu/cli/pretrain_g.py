@@ -67,7 +67,8 @@ def main(argv=None):
         dec_vars = T.decoder_variables(
             {"params": ts.params, "state": ts.state})
         gio.save_checkpoint(ckpt_path, dec_vars, config=cfg.to_dict(),
-                            extra={"epoch": epoch + 1})
+                            extra={"epoch": epoch + 1,
+                                   "plot_data": plot_data})
         last_saved = epoch
         print(f"<trainer> saving network to {ckpt_path}")
 

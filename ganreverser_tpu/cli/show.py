@@ -30,13 +30,38 @@ def _summary(tree, prefix="", depth=0, max_depth=3):
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    plot_to = None
+    if "--plot" in argv:
+        # render the checkpoint's persisted loss history (plot_data,
+        # train.lua:256 — which the reference saves but can only view by
+        # resuming with a display server) to a PNG chart
+        i = argv.index("--plot")
+        has_path = i + 1 < len(argv) and not argv[i + 1].startswith("-")
+        plot_to = argv[i + 1] if has_path else "plot_data.png"
+        del argv[i:i + 2 if has_path else i + 1]
     if not argv:
-        sys.exit("usage: show <checkpoint-dir>")
+        sys.exit("usage: show <checkpoint-dir> [--plot [out.png]]")
     path = argv[0]
     tree, config, extra = gio.load_checkpoint(path)
     print(f"== checkpoint: {path}")
-    print(f"-- extra: {extra}")
+    plot_data = extra.get("plot_data") if isinstance(extra, dict) else None
+    extra_show = dict(extra) if isinstance(extra, dict) else extra
+    if plot_data:
+        extra_show["plot_data"] = f"<{len(plot_data)} rows>"
+    print(f"-- extra: {extra_show}")
+    if plot_to is not None:
+        if plot_data:
+            from ..io.plots import save_chart
+            labels = (["epoch", "D loss", "G loss", "D acc"]
+                      if len(plot_data[0]) == 4 else
+                      ["step"] + [f"series {i}"
+                                  for i in range(1, len(plot_data[0]))])
+            save_chart(plot_to, plot_data, labels,
+                       title=f"loss history: {path}")
+            print(f"-- plot_data chart written to {plot_to}")
+        else:
+            print("-- no plot_data in this checkpoint; nothing to plot")
     print("-- config:")
     for k in sorted(config):
         print(f"   {k} = {config[k]}")

@@ -50,9 +50,14 @@ def main(argv=None):
 
     R = M.create_R(dims, cfg.noiseDim, cfg.noiseMethod, fixer=cfg.fixer,
                    dtype=dtype)
+    cont_plot_data: list = []
     if cfg.cont:
-        r_tree, _, _ = gio.load_checkpoint(cfg.cont)
+        r_tree, _, cont_extra = gio.load_checkpoint(cfg.cont)
         ts = common.ts_from_tree(r_tree["R"])
+        # loss-history continuity across --cont (same improvement as
+        # train.py's plot_data restore; the reference saves only {R, opt},
+        # train_r.lua:234)
+        cont_plot_data = list(cont_extra.get("plot_data", []))
         print(f"<trainer> continuing R from {cfg.cont}")
     else:
         ts = T.create_train_state(R, O.adam(), jax.random.fold_in(key, 2),
@@ -118,7 +123,7 @@ def main(argv=None):
         saver = (gio.save_checkpoint_async if cfg.async_save
                  else gio.save_checkpoint)
         saver(ckpt_path, tree, config=cfg.to_dict(),
-              extra={"batch": int(ts.step)})
+              extra={"batch": int(ts.step), "plot_data": plot_data})
         print(f"<trainer> saving network to {ckpt_path}")
 
     # batches run in SEGMENTS: one jitted lax.scan dispatch (and ONE loss
@@ -143,7 +148,11 @@ def main(argv=None):
         return min(c for c in cands if c >= i)
 
     losses = []
-    plot_data = []  # [batch, low, avg, high] rows (train_r.lua:192-204)
+    # [batch, low, avg, high] rows (train_r.lua:192-204); continues from
+    # the checkpoint under --cont (new rows offset past the restored tail
+    # so the chart's x axis stays monotonic — batch_idx restarts at 1)
+    plot_data = cont_plot_data
+    plot_base = int(plot_data[-1][0]) if plot_data else 0
     batch_idx = 1
     while True:
         if 0 <= cfg.nbBatches < batch_idx:
@@ -178,7 +187,8 @@ def main(argv=None):
             writer.scalar("r_loss_low", lo, step=batch_idx)
             writer.scalar("r_loss_avg", avg, step=batch_idx)
             writer.scalar("r_loss_high", hi, step=batch_idx)
-            plot_data.append([batch_idx, float(lo), float(avg), float(hi)])
+            plot_data.append([plot_base + batch_idx, float(lo), float(avg),
+                              float(hi)])
             if not cfg.noplot:
                 # the reference's 'R Loss' display window (train_r.lua:204;
                 # its x label says 'epoch' but the value is the batch index

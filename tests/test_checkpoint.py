@@ -102,3 +102,23 @@ def test_async_save(tmp_path):
     with pytest.raises((NotADirectoryError, FileExistsError)):
         gio.wait_for_saves()
     gio.wait_for_saves()  # error consumed; subsequent joins are clean
+
+
+def test_show_plot_renders_history(tmp_path, capsys):
+    """show --plot renders the checkpoint's persisted plot_data; without
+    history it degrades gracefully."""
+    from ganreverser_tpu.io.checkpoint import save_checkpoint
+    from ganreverser_tpu.cli import show
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, {"R": {"params": {}, "state": {}}},
+                    config={}, extra={"plot_data": [[1, 0.9], [2, 0.4]]})
+    out_png = str(tmp_path / "h.png")
+    show.main([ck, "--plot", out_png])
+    assert (tmp_path / "h.png").exists()
+    assert "<2 rows>" in capsys.readouterr().out
+
+    ck2 = str(tmp_path / "ck2")
+    save_checkpoint(ck2, {"R": {"params": {}, "state": {}}}, config={})
+    show.main([ck2, "--plot", str(tmp_path / "none.png")])
+    assert not (tmp_path / "none.png").exists()
+    assert "nothing to plot" in capsys.readouterr().out
