@@ -36,14 +36,18 @@ def main(argv=None):
     dec = M.create_G(dims, cfg.noiseDim, dtype=dtype)
     AE = T.make_autoencoder(enc, dec)
     ae_vars, _ = AE.init(jax.random.fold_in(key, 1), (h, w, c))
+    resumed_plot_data: list = []
     if cfg.network:
         # resume the DECODER from a previous g_pretrained checkpoint (the
         # reference declares --network but never reads it,
         # pretrain_g.lua:16 — implemented properly here; the encoder is
         # fresh because the checkpoint stores the decoder only)
-        dec_tree, _, _ = gio.load_checkpoint(cfg.network)
+        dec_tree, _, net_extra = gio.load_checkpoint(cfg.network)
         ae_vars["params"]["l1"] = dec_tree["params"]
         ae_vars["state"]["l1"] = dec_tree["state"]
+        # restore the persisted loss history too — overwriting it with
+        # rows restarting at epoch 1 would destroy the saved curve
+        resumed_plot_data = list(net_extra.get("plot_data", []))
         print(f"<trainer> resumed decoder from {cfg.network} "
               "(fresh encoder)")
     opt = (O.adagrad() if cfg.G_optmethod == "adagrad" else O.adam())
@@ -73,7 +77,11 @@ def main(argv=None):
         print(f"<trainer> saving network to {ckpt_path}")
 
     epoch = 1
-    plot_data = []  # [epoch, loss] rows (PLOT_DATA, pretrain_g.lua:239-244)
+    # [epoch, loss] rows (PLOT_DATA, pretrain_g.lua:239-244); continues
+    # from the checkpoint under --network (new rows offset past the tail —
+    # the epoch counter restarts at 1)
+    plot_data = resumed_plot_data
+    plot_base = int(plot_data[-1][0]) if plot_data else 0
     while True:
         if 0 <= cfg.epochs < epoch:  # fixed inverted check (pretrain_g.lua:112)
             print("<trainer> Last epoch reached.")
@@ -94,7 +102,7 @@ def main(argv=None):
             ts, loss = step(ts, batch, sub)
         print(f"<trainer> last batch loss: {float(loss):.4f}")
         writer.scalar("ae_loss", float(loss), step=epoch)
-        plot_data.append([epoch, float(loss)])
+        plot_data.append([plot_base + epoch, float(loss)])
         if not cfg.noplot:
             # pretrain_g.lua:244's 'G Loss' display window, as a PNG
             writer.chart("plot_g_loss", plot_data, ["epoch", "G Loss"],

@@ -53,11 +53,20 @@ def main(argv=None):
     if plot_to is not None:
         if plot_data:
             from ..io.plots import save_chart
-            labels = (["epoch", "D loss", "G loss", "D acc"]
-                      if len(plot_data[0]) == 4 else
-                      ["step"] + [f"series {i}"
-                                  for i in range(1, len(plot_data[0]))])
-            save_chart(plot_to, plot_data, labels,
+            # label by the checkpoint's CONTENT, not row width: train_r's
+            # [batch, low, avg, high] rows are the same width as train's
+            # [epoch, D loss, G loss, D acc]
+            if isinstance(tree, dict) and "R" in tree:
+                labels = ["batch", "R loss (low)", "R loss (avg)",
+                          "R loss (high)"]
+            elif isinstance(tree, dict) and "G" in tree and "D" in tree:
+                labels = ["epoch", "D loss", "G loss", "D acc"]
+            elif len(plot_data[0]) == 2:
+                labels = ["epoch", "G Loss"]  # pretrain_g history
+            else:
+                labels = ["step"] + [f"series {i}"
+                                     for i in range(1, len(plot_data[0]))]
+            save_chart(plot_to, plot_data, labels[:len(plot_data[0])],
                        title=f"loss history: {path}")
             print(f"-- plot_data chart written to {plot_to}")
         else:

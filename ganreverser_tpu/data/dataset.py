@@ -98,6 +98,21 @@ class Dataset:
         if decode_workers is None:
             decode_workers = os.cpu_count() or 1
         self.decode_workers = max(1, int(decode_workers))
+        self._pool = None  # lazy persistent decode pool (see _decode_pool)
+
+    def _decode_pool(self):
+        """One executor per Dataset, created lazily and reused — spawning
+        a fresh pool per load_images call would put thread create/teardown
+        on the ingest hot path. A weakref finalizer shuts the idle workers
+        down when the Dataset is collected (they'd otherwise linger until
+        interpreter exit)."""
+        if self._pool is None:
+            import weakref
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                self.decode_workers, thread_name_prefix="jpeg-decode")
+            weakref.finalize(self, self._pool.shutdown, wait=False)
+        return self._pool
 
     @property
     def paths(self) -> List[str]:
@@ -120,17 +135,14 @@ class Dataset:
         libjpeg call releases the GIL, so decode parallelizes on real
         multi-core hosts."""
         out = np.empty((len(paths), self.height, self.width, 3), np.float32)
-        workers = min(self.decode_workers, len(paths))
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        if self.decode_workers > 1 and len(paths) > 1:
 
             def decode_row(i):
                 out[i] = _decode_resize(paths[i], self.height, self.width)
 
-            with ThreadPoolExecutor(workers) as ex:
-                # list(...) drains the iterator so worker exceptions
-                # propagate here instead of being silently dropped
-                list(ex.map(decode_row, range(len(paths))))
+            # list(...) drains the iterator so worker exceptions
+            # propagate here instead of being silently dropped
+            list(self._decode_pool().map(decode_row, range(len(paths))))
         else:
             for i, p in enumerate(paths):
                 out[i] = _decode_resize(p, self.height, self.width)

@@ -109,11 +109,16 @@ _save_error: Optional[BaseException] = None
 
 
 def _atexit_join() -> None:
-    """Join an in-flight background save at interpreter exit. The writer
-    thread is non-daemon, so CPython would wait for it anyway — but only
-    AFTER atexit; joining here surfaces a stored write error to stderr on
-    the abnormal-exit path (an exception between saves would otherwise
-    swallow it), without raising during shutdown."""
+    """Surface a stored background-write error at interpreter exit.
+
+    Ordering note (why daemon=False is the load-bearing part): CPython
+    joins non-daemon threads in threading._shutdown BEFORE atexit
+    callbacks run, so by the time this handler fires the write has
+    already completed and the join below is a no-op — its purpose is the
+    error print (an exception between saves would otherwise swallow a
+    stored failure). Reverting the writer to daemon=True would reintroduce
+    the truncated-checkpoint window: a daemon thread is killed mid-rename
+    on abnormal exit and NOTHING joins it."""
     global _save_thread
     with _save_lock:
         t, _save_thread = _save_thread, None
