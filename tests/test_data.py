@@ -204,3 +204,22 @@ def test_decode_workers_parity(tmp_path, rng):
     np.testing.assert_array_equal(serial.load_images(0, 12),
                                   pooled.load_images(0, 12))
     assert pooled.decode_workers == 4
+
+
+def test_prefetch_with_pooled_decode(tmp_path, rng):
+    """The combined production ingest path: prefetch worker thread calling
+    Dataset.load_images with the persistent decode pool (threads inside a
+    thread) — batches arrive in order and bit-match the direct path."""
+    from PIL import Image
+    for i in range(16):
+        arr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.jpg")
+    ds = D.Dataset([str(tmp_path)], height=8, width=8, colorspace="rgb",
+                   decode_workers=3)
+    bs = 4
+    batches = list(D.prefetch_to_device(
+        lambda i: ds.load_images(i * bs, bs), 4, host_only=True))
+    assert len(batches) == 4
+    direct = ds.load_images(0, 16)
+    got = np.concatenate([np.asarray(b) for b in batches])
+    np.testing.assert_array_equal(got, direct)
