@@ -122,3 +122,32 @@ def test_show_plot_renders_history(tmp_path, capsys):
     show.main([ck2, "--plot", str(tmp_path / "none.png")])
     assert not (tmp_path / "none.png").exists()
     assert "nothing to plot" in capsys.readouterr().out
+
+
+def test_roundtrip_tricky_pytrees(tmp_path):
+    """Encoder/decoder edge shapes: nested tuples (decoded as tuples, not
+    lists), None, bools, ints/floats, 0-d and bool arrays, empty dicts,
+    mixed lists — the structures optimizer states actually contain."""
+    tree = {
+        "t": (np.float32(1.5) * np.ones((2, 3)), (np.arange(4), None)),
+        "scalars": {"b": True, "i": 7, "f": 0.25, "s": "adam", "n": None},
+        "zero_d": np.array(3.0, np.float32),
+        "bool_arr": np.array([True, False]),
+        "empty": {},
+        "mixed_list": [np.ones((1,)), {"x": (np.zeros((2,)),)}],
+        "i64": np.array([1, 2], np.int64),
+    }
+    path = str(tmp_path / "ck")
+    gio.save_checkpoint(path, tree)
+    out, _, _ = gio.load_checkpoint(path)
+    assert isinstance(out["t"], tuple) and isinstance(out["t"][1], tuple)
+    assert out["t"][1][1] is None
+    assert out["scalars"] == tree["scalars"]
+    assert out["empty"] == {}
+    assert isinstance(out["mixed_list"], list)
+    assert out["bool_arr"].dtype == np.bool_
+    assert out["i64"].dtype == np.int64
+    np.testing.assert_array_equal(out["zero_d"], tree["zero_d"])
+    np.testing.assert_array_equal(out["t"][0], tree["t"][0])
+    np.testing.assert_array_equal(out["mixed_list"][1]["x"][0],
+                                  np.zeros((2,)))
