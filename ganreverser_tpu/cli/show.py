@@ -3,7 +3,11 @@
 Prints the config, metadata, and a pytree summary (leaf shapes/dtypes/param
 counts) of any framework checkpoint.
 
-Usage:  python -m ganreverser_tpu.cli.show logs/adversarial
+Usage:  python -m ganreverser_tpu.cli.show logs/adversarial [--plot [out.png]]
+
+``--plot`` renders the checkpoint's persisted loss history (plot_data,
+train.lua:256 — the reference can only view it by resuming with a display
+server) as a PNG chart via io/plots.py.
 """
 from __future__ import annotations
 
