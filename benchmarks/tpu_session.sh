@@ -53,4 +53,11 @@ run e2e_apply    2400 python -m ganreverser_tpu.cli.apply_r \
   --writeto "$E2E/apply_out" --N 2048 --clusters 4 --kmeans_iters 5 \
   --needles 2 --anomalies_n 256 --batchSize 256 --refine_steps 5 \
   --pallas --compute_dtype bfloat16
+# round-3: the approx k-selection CLI path (the NHWC->flat + approx_max_k
+# chain that needs _select_topk's optimization_barrier — TPU-only bug)
+run e2e_apply_ax 2400 python -m ganreverser_tpu.cli.apply_r \
+  --G "$E2E/logs/adversarial" --save "$E2E/logs" \
+  --writeto "$E2E/apply_ax" --N 2048 --clusters 4 --kmeans_iters 5 \
+  --needles 2 --anomalies_n 256 --batchSize 256 \
+  --approx --compute_dtype bfloat16
 echo done
