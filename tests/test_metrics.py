@@ -78,3 +78,20 @@ def test_writer_chart_artifact(tmp_path):
     assert w.chart("plot_empty", [], ["epoch", "loss"]) is not None
     assert (tmp_path / "images" / "plot_empty.png").exists()
     w.close()
+
+
+def test_render_chart_nan_breaks_line():
+    """A NaN sample must leave a visible GAP, not a fabricated segment:
+    the broken series draws strictly fewer series-colored pixels than the
+    same series with the middle point present."""
+    from ganreverser_tpu.io.plots import render_chart, _COLORS
+    rows_gap = [[1, 0.0], [2, float("nan")], [3, 0.0]]
+    rows_full = [[1, 0.0], [2, 0.0], [3, 0.0]]
+    c = np.array(_COLORS[0], np.uint8)
+
+    def series_pixels(rows):
+        img = render_chart(rows, ["x", "y"], width=320, height=200)
+        return int((img == c).all(axis=-1).sum())
+
+    n_gap, n_full = series_pixels(rows_gap), series_pixels(rows_full)
+    assert 0 < n_gap < n_full  # two dots vs a full horizontal line
