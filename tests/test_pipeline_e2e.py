@@ -30,6 +30,9 @@ def trained_gan(workdir):
                 "--batchSize", "8", "--noiseDim", "8", "--saveFreq", "1",
                 "--nopretraining", "--async_save"] + GEOM)
     assert os.path.isfile(os.path.join(save, "adversarial", "manifest.json"))
+    # the display-analogue loss chart (io/plots.py) is part of the train
+    # artifact contract unless --noplot
+    assert os.path.isfile(os.path.join(save, "images", "plot_loss.png"))
     return save
 
 
