@@ -372,3 +372,32 @@ def test_pixel_cosine_topk_tiled_matches_similarity(key):
     np.testing.assert_allclose(np.asarray(v), np.asarray(rv),
                                rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_conv_f32acc_forward_mode_ad(key):
+    """f32 operands dispatch to the plain primitive, so forward-mode AD
+    (jax.jvp/jacfwd) works — the custom_vjp is confined to the low-
+    precision path, where jvp raising is the documented constraint
+    (ops/precision.py)."""
+    import pytest
+    from ganreverser_tpu.ops.precision import conv_f32acc
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = jax.random.normal(key, (2, 8, 8, 3), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, 4),
+                          jnp.float32)
+
+    def f(x):
+        return conv_f32acc(x, w, (1, 1), "SAME", None, dn).sum()
+
+    _, tangent = jax.jvp(f, (x,), (jnp.ones_like(x),))
+    assert np.isfinite(float(tangent))
+    # and it agrees with reverse mode
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(float(tangent), float(jnp.sum(g)),
+                               rtol=1e-5)
+
+    with pytest.raises(Exception):  # bf16 path: reverse-mode only
+        jax.jvp(lambda x: conv_f32acc(
+            x, w.astype(jnp.bfloat16), (1, 1), "SAME", None, dn).sum(),
+            (x.astype(jnp.bfloat16),),
+            (jnp.ones_like(x, jnp.bfloat16),))
