@@ -81,7 +81,11 @@ def _time_best(fn, *args, repeats=5):
 
 
 def main(argv=None):
-    full = "--full" in (argv if argv is not None else sys.argv[1:])
+    argv = argv if argv is not None else sys.argv[1:]
+    full = "--full" in argv
+    mesh_data = 0
+    if "--mesh_data" in argv:
+        mesh_data = int(argv[argv.index("--mesh_data") + 1])
     backend = _resolve_backend()
     from ganreverser_tpu import models as M
     from ganreverser_tpu.analysis import forward_batched
@@ -275,6 +279,36 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001 — report, keep headline
             print(f"[bench] fused e2e program failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
+
+        # --mesh_data N: the mesh-sharded fused e2e program (the v5e-8
+        # north star as ONE jitted shard_map program — analysis/e2e.py::
+        # make_distributed_e2e_program). Functional on a virtual CPU mesh
+        # today (parity-tested); on a real pod slice this is the program
+        # the ≥50k img/s target runs through.
+        n_dev = len(jax.devices())
+        if mesh_data > 1 and n_dev >= mesh_data:
+            try:
+                from ganreverser_tpu import parallel as par
+                from ganreverser_tpu.analysis.e2e import \
+                    make_distributed_e2e_program
+                mesh = par.make_mesh(data=mesh_data, model=1)
+                gv_rep = par.replicate(g_vars, mesh)
+                rv_rep = par.replicate(r_vars, mesh)
+                n_sh = (n_images // mesh_data) * mesh_data
+                z_sh = par.shard_batch(z[:n_sh], mesh)
+                e2e_dp = make_distributed_e2e_program(
+                    G, R, mesh=mesh, batch_size=batch, k=100)
+                t_dp = _time_best(e2e_dp, gv_rep, rv_rep, z_sh)
+                print(f"[bench] end-to-end (fused, {mesh_data}-way DP "
+                      f"mesh): {n_sh / t_dp:,.0f} img/s total "
+                      f"({n_sh / t_dp / mesh_data:,.0f}/device, "
+                      f"{t_dp*1e3:.1f} ms)", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — report, keep headline
+                print(f"[bench] distributed e2e failed: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+        elif mesh_data > 1:
+            print(f"[bench] --mesh_data {mesh_data} skipped: only "
+                  f"{n_dev} device(s) visible", file=sys.stderr)
 
     print(json.dumps({
         "metric": (f"R-inversion images/sec/chip @64x64 (bf16, batch "

@@ -27,11 +27,14 @@ Additional probes for the R step (the 21.7%-MFU outlier) and the PRNG:
               isolates dropout mask generation + apply in fwd AND bwd
   r_rbg       production r_step driven by an 'rbg' PRNG key — TPU's
               native fast RNG instead of threefry, same program
+  r_kernel    production r_step with R built dropout_impl='kernel' — the
+              in-kernel counter-hash Pallas dropout (the train_r
+              --dropout kernel product option)
   dg_rbg      the d+g scan with an rbg key
 
 Usage: python benchmarks/train_ablate.py [--cpu] [--smoke] [SECTION...]
 SECTIONs: full nodrop nobn_stats noadam g_full g_nodrop r_full r_nodrop
-r_rbg dg_rbg (default: all)
+r_rbg r_kernel dg_rbg (default: all)
 """
 from __future__ import annotations
 
@@ -140,7 +143,7 @@ def main(argv=None):
 
     sections = [a for a in argv if not a.startswith("-")] or \
         ["full", "nodrop", "nobn_stats", "noadam", "g_full", "g_nodrop",
-         "r_full", "r_nodrop", "r_rbg", "dg_rbg"]
+         "r_full", "r_nodrop", "r_rbg", "r_kernel", "dg_rbg"]
 
     if "full" in sections:
         emit("d_step full", scan_time(make_d_variant()),
@@ -198,7 +201,7 @@ def main(argv=None):
              "D's dropout (the only RNG in the G step) removed")
 
     # --- r_step variants (the 21.7%-MFU outlier, logs/tpu_r03_roofline_r) --
-    need_r = {"r_full", "r_nodrop", "r_rbg"} & set(sections)
+    need_r = {"r_full", "r_nodrop", "r_rbg", "r_kernel"} & set(sections)
     if need_r or "dg_rbg" in sections:
         import dataclasses
 
@@ -230,6 +233,20 @@ def main(argv=None):
                                  jax.random.key(9, impl="rbg")),
                      "same program, TPU-native rbg PRNG for the dropout "
                      "masks + noise")
+
+        if "r_kernel" in sections:
+            # the PRODUCT option for the dropout cost (train_r --dropout
+            # kernel): counter-hash masks generated inside a Pallas apply
+            # kernel — zero HBM mask traffic (ops/dropout_kernel.py).
+            # Only meaningful on TPU (elsewhere the module falls back).
+            R_k = M.create_R(dims, nd, "normal", dtype=dtype,
+                             dropout_impl="kernel")
+            r_step_k = T.make_r_train_step(G, R_k, batch_size=batch,
+                                           noise_dim=nd,
+                                           noise_method="normal")
+            emit("r_step kernel-dropout",
+                 r_scan_time(r_step_k.raw, jax.random.fold_in(key, 9)),
+                 "in-kernel counter-hash masks (train_r --dropout kernel)")
 
         if "r_nodrop" in sections:
             from ganreverser_tpu.models.modules import (Dropout, Identity,

@@ -30,5 +30,7 @@ def forward_batched(apply_fn: Callable, x: jax.Array,
         x = jnp.concatenate([x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))])
     chunks = x.reshape((n_chunks, batch_size) + x.shape[1:])
     out = jax.lax.map(apply_fn, chunks)
-    out = out.reshape((n_chunks * batch_size,) + out.shape[2:])
-    return out[:n]
+    # apply_fn may return a pytree (e.g. the fused e2e scan emitting both
+    # embeddings and flattened pixels per chunk) — unchunk every leaf
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((n_chunks * batch_size,) + o.shape[2:])[:n], out)

@@ -15,7 +15,17 @@ This module fuses the whole pipeline into a single jitted program:
   flagship N=10240 geometry, bf16);
 * the similarity search (every generated face as a needle, matching
   bench.py's historical "top-k answers for all N" accounting) runs as a
-  needle-chunk scan over the already-resident embeddings.
+  needle-chunk scan over the already-resident embeddings;
+* ``pixel_k > 0`` adds the reference's SECOND similarity measure — cosine
+  over raw flattened pixels (apply_r.lua:307-314) — scored from normalized
+  flat pixels emitted by the same chunk scan (one extra (N, H*W*C) f32
+  tensor; the un-normalized image tensor itself is still never stored);
+* ``make_distributed_e2e_program`` shards the whole pipeline over a
+  ``('data', 'model')`` mesh: z split over 'data', per-shard G→R scan,
+  one small all-gather of the normalized embeddings over ICI, per-shard
+  needle search, and — for the pixel measure — a ppermute RING over the
+  pixel blocks so the (N, H*W*C) corpus is never replicated. This is the
+  BASELINE.md v5e-8 north-star pipeline as ONE jitted program.
 
 ``make_e2e_program`` is what bench.py times for the MEASURED end-to-end
 rate (replacing the round-2 additive t_gen+t_inv+t_topk projection);
@@ -34,41 +44,73 @@ from .batched import forward_batched
 from .similarity import normalize_rows
 
 
+def chunked_topk_search(queries_normed: jax.Array, corpus_normed: jax.Array,
+                        k: int, needle_chunk: int = 256,
+                        approx: bool = False, recall_target: float = 0.95
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Top-k corpus rows per query, streaming queries in chunks.
+
+    Both operands are row-normalized; the (Q, N) score matrix is never
+    materialized: query chunks stream through one matmul (MXU) + top_k
+    each. Returns (values (Q, k), indices (Q, k)). Traceable — safe
+    inside jit and shard_map.
+    """
+    from .similarity import _select_topk
+    q = queries_normed.shape[0]
+    n_chunks = -(-q // needle_chunk)
+    pad = n_chunks * needle_chunk - q
+    # zero-row padding (NOT queries[:pad] — that under-pads when q < pad,
+    # i.e. a query set smaller than half the needle chunk)
+    qq = jnp.pad(queries_normed, ((0, pad), (0, 0))) if pad \
+        else queries_normed
+    qq = qq.reshape(n_chunks, needle_chunk, -1)
+
+    def search(qc):
+        scores = jnp.dot(qc, corpus_normed.T,
+                         preferred_element_type=jnp.float32)
+        return _select_topk(scores, k, approx, recall_target)
+
+    v, i = jax.lax.map(search, qq)
+    return (v.reshape(n_chunks * needle_chunk, k)[:q],
+            i.reshape(n_chunks * needle_chunk, k)[:q])
+
+
 def topk_all(embeddings: jax.Array, k: int,
              needle_chunk: int = 256, approx: bool = False,
              recall_target: float = 0.95) -> Tuple[jax.Array, jax.Array]:
     """Top-k most-similar corpus rows for EVERY row, chunked over needles.
 
-    The (N, N) score matrix is never materialized: needles stream through
-    in ``needle_chunk`` blocks, each one matmul (MXU) + top_k. Returns
-    (values (N, k), indices (N, k)). Traceable — safe inside jit.
     ``approx=True`` uses TPU's native approximate k-selection
     (analysis/similarity.py::_select_topk) — the selection is the
     dominant cost of this all-N search on hardware.
     """
-    from .similarity import _select_topk
-    n = embeddings.shape[0]
     normed = normalize_rows(embeddings)
-    n_chunks = -(-n // needle_chunk)
-    pad = n_chunks * needle_chunk - n
-    # zero-row padding (NOT normed[:pad] — that under-pads when n < pad,
-    # i.e. a corpus smaller than half the needle chunk)
-    q = jnp.pad(normed, ((0, pad), (0, 0))) if pad else normed
-    q = q.reshape(n_chunks, needle_chunk, -1)
+    return chunked_topk_search(normed, normed, k, needle_chunk, approx,
+                               recall_target)
 
-    def search(qc):
-        scores = jnp.dot(qc, normed.T, preferred_element_type=jnp.float32)
-        return _select_topk(scores, k, approx, recall_target)
 
-    v, i = jax.lax.map(search, q)
-    return (v.reshape(n_chunks * needle_chunk, k)[:n],
-            i.reshape(n_chunks * needle_chunk, k)[:n])
+def _g_then_r_fn(G: Module, R: Module, g_apply, pixels: bool):
+    """The per-chunk fused leg: z chunk -> R embedding (and optionally the
+    normalized flat pixels for the pixel-cosine measure)."""
+
+    def g_then_r(g_variables, r_variables, zc):
+        if g_apply is None:
+            imgs, _ = G.apply(g_variables, zc, train=False)
+        else:
+            imgs = g_apply(g_variables, zc)
+        emb, _ = R.apply(r_variables, imgs, train=False)
+        if pixels:
+            flat = imgs.reshape(imgs.shape[0], -1)
+            return emb, normalize_rows(flat)
+        return emb
+
+    return g_then_r
 
 
 def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
                      k: int = 100, needle_chunk: int = 256,
                      g_apply=None, approx: bool = False,
-                     recall_target: float = 0.95):
+                     recall_target: float = 0.95, pixel_k: int = 0):
     """One jitted ``(g_vars, r_vars, z) -> (emb, topk_vals, topk_idx)``.
 
     The fused production pipeline: chunked G→R (images stay in registers/
@@ -83,23 +125,136 @@ def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
     ``approx``: swap the exact per-needle top-k for TPU's native
     approximate k-selection (recall >= ``recall_target``); exact stays the
     default — the reference's rankings are exact.
+
+    ``pixel_k > 0``: also rank every face against all N on raw flattened
+    pixels (the reference's second measure, apply_r.lua:307-314) and
+    return ``(emb, v, i, pixel_v, pixel_i)``. Costs one (N, H*W*C) f32
+    HBM tensor of normalized pixels (the only full-N image-scale tensor
+    in the program) plus the wide-D search matmuls.
     """
+    g_then_r = _g_then_r_fn(G, R, g_apply, pixel_k > 0)
 
     @jax.jit
     def run(g_variables, r_variables, z):
-        def g_then_r(zc):
-            if g_apply is None:
-                imgs, _ = G.apply(g_variables, zc, train=False)
-            else:
-                imgs = g_apply(g_variables, zc)
-            emb, _ = R.apply(r_variables, imgs, train=False)
-            return emb
-
-        emb = forward_batched(g_then_r, z, batch_size)
+        out = forward_batched(
+            lambda zc: g_then_r(g_variables, r_variables, zc),
+            z, batch_size)
+        if pixel_k > 0:
+            emb, flat = out
+            v, i = topk_all(emb, k, needle_chunk, approx, recall_target)
+            pv, pi = chunked_topk_search(flat, flat, pixel_k, needle_chunk,
+                                         approx, recall_target)
+            return emb, v, i, pv, pi
+        emb = out
         v, i = topk_all(emb, k, needle_chunk, approx, recall_target)
         return emb, v, i
 
     return run
+
+
+def make_distributed_e2e_program(G: Module, R: Module, *, mesh,
+                                 batch_size: int = 128, k: int = 100,
+                                 needle_chunk: int = 256, g_apply=None,
+                                 approx: bool = False,
+                                 recall_target: float = 0.95,
+                                 pixel_k: int = 0):
+    """The fused e2e pipeline sharded over the mesh's 'data' axis — the
+    v5e-8 north-star workload (BASELINE.md: ≥50k end-to-end inversions/sec
+    across 8 chips; /root/reference/apply_r.lua:143-153 + 265-318 is the
+    composed pipeline being scaled) as ONE jitted program.
+
+    Layout (SURVEY.md §5.7): z is split over 'data'; every shard runs the
+    G→R chunk scan on its rows with zero communication; the embedding
+    corpus (N, z_dim — ~4 MB f32 at the flagship shape) is all-gathered
+    once over ICI; each shard then answers top-k for its OWN rows against
+    the full corpus, so the search work splits N/n_shards ways and the
+    returned (N, k) results come back 'data'-sharded in global row order.
+
+    The optional pixel measure (``pixel_k > 0``) must score every needle
+    against all N rows of a (N, H*W*C) corpus that is ~125x wider than
+    the embeddings — replicating it via all-gather would burn HBM and DCN
+    at pod scale. Instead the normalized pixel blocks RING around the
+    'data' axis with ``ppermute`` (n_shards steps); each step every shard
+    scores its local needles against the visiting block and folds the
+    candidates into a running top-k. Peak per-device pixel storage stays
+    2 blocks (local + visiting) regardless of mesh size.
+
+    Params are taken replicated (pure DP — the north-star config);
+    combine with parallel.shard_params TP via the unfused
+    analysis/distributed.py path instead. Requires mesh model axis == 1.
+
+    Returns jitted ``(g_vars, r_vars, z)`` -> same signature as
+    ``make_e2e_program``. z's leading dim must divide by the data-axis
+    size; parity with the single-device program is exact when
+    (N / n_shards) % batch_size == 0 (identical chunk boundaries).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if MODEL_AXIS in mesh.shape and mesh.shape[MODEL_AXIS] != 1:
+        raise ValueError(
+            "make_distributed_e2e_program is the pure-DP north-star "
+            f"pipeline; got model axis {mesh.shape[MODEL_AXIS]} != 1 — "
+            "use analysis/distributed.py for TP-sharded params")
+    n_shards = mesh.shape[DATA_AXIS]
+    g_then_r = _g_then_r_fn(G, R, g_apply, pixel_k > 0)
+
+    def _ring_pixel_topk(flat_local):
+        """All-pairs pixel top-k via a ppermute ring over pixel blocks.
+
+        flat_local: (local_n, D) normalized rows of THIS shard. Returns
+        (local_n, pixel_k) values/global-indices for the local needles.
+        """
+        local_n = flat_local.shape[0]
+        my = jax.lax.axis_index(DATA_AXIS)
+        kk = min(pixel_k, local_n)
+        perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
+
+        def step(s, carry):
+            block, vbest, ibest = carry
+            # the visiting block started at shard (my - s) mod n_shards
+            src = jax.lax.rem(my - s + n_shards, n_shards)
+            v, i = chunked_topk_search(flat_local, block, kk, needle_chunk,
+                                       approx, recall_target)
+            gi = i + src * local_n
+            vcat = jnp.concatenate([vbest, v], axis=1)
+            icat = jnp.concatenate([ibest, gi], axis=1)
+            vbest, sel = jax.lax.top_k(vcat, pixel_k)
+            ibest = jnp.take_along_axis(icat, sel, axis=1)
+            block = jax.lax.ppermute(block, DATA_AXIS, perm)
+            return block, vbest, ibest
+
+        v0 = jnp.full((local_n, pixel_k), -jnp.inf, jnp.float32)
+        i0 = jnp.zeros((local_n, pixel_k), jnp.int32)
+        _, vbest, ibest = jax.lax.fori_loop(
+            0, n_shards, step, (flat_local, v0, i0))
+        return vbest, ibest
+
+    def local_pipeline(g_variables, r_variables, z_local):
+        out = forward_batched(
+            lambda zc: g_then_r(g_variables, r_variables, zc),
+            z_local, batch_size)
+        emb_local, flat_local = out if pixel_k > 0 else (out, None)
+        normed_local = normalize_rows(emb_local)
+        # one small ICI all-gather: tiled axis-0 gather preserves shard
+        # order, so corpus row j IS global row j and local top-k indices
+        # are global without adjustment
+        corpus = jax.lax.all_gather(normed_local, DATA_AXIS, axis=0,
+                                    tiled=True)
+        v, i = chunked_topk_search(normed_local, corpus, k, needle_chunk,
+                                   approx, recall_target)
+        if pixel_k > 0:
+            pv, pi = _ring_pixel_topk(flat_local)
+            return emb_local, v, i, pv, pi
+        return emb_local, v, i
+
+    n_out = 5 if pixel_k > 0 else 3
+    fn = shard_map(local_pipeline, mesh=mesh,
+                   in_specs=(P(), P(), P(DATA_AXIS)),
+                   out_specs=(P(DATA_AXIS),) * n_out, check_vma=False)
+    return jax.jit(fn)
 
 
 def make_serial_programs(G: Module, R: Module, *, batch_size: int = 128,

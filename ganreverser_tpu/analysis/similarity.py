@@ -78,6 +78,25 @@ def pixel_cosine_topk(images: jax.Array, needle_idx: jax.Array, k: int,
     return cosine_topk(flat, needle_idx, k, approx, recall_target)
 
 
+def topk_recall(exact_idx, test_idx) -> float:
+    """Mean per-needle recall of ``test_idx`` against ``exact_idx``
+    (both (needles, k) index arrays): |exact ∩ test| / k, averaged.
+
+    The accuracy guard for the --approx path — the reference's rankings
+    are exact (apply_r.lua:275), so any approximate mode ships with its
+    recall measured against the exact result (tests/test_analysis.py pins
+    it on the CPU backend; benchmarks/tpu_kernel_check.py measures the
+    real hardware figure, 0.986 at recall_target=0.95 on the flagship
+    shape, RESULTS.md round 3)."""
+    import numpy as np
+    exact_idx = np.asarray(exact_idx)
+    test_idx = np.asarray(test_idx)
+    hits = 0
+    for row_exact, row_test in zip(exact_idx, test_idx):
+        hits += len(np.intersect1d(row_exact, row_test))
+    return hits / exact_idx.size
+
+
 # module-level jitted query programs: shared across SimilarityIndex
 # instances, so rebuilding the index (corpus refresh) never recompiles
 _normalize_jit = jax.jit(normalize_rows)

@@ -99,6 +99,7 @@ def main(argv=None):
     # analysis sections stay on the (sharding-aware) lax paths
     use_mesh = cfg.mesh_data > 1 or cfg.mesh_model > 1
     use_pallas_kernels = cfg.pallas and not use_mesh
+    mesh = None
     if cfg.pallas and use_mesh:
         print("[apply_r] note: the entire --pallas fast path (fused G "
               "decoder AND the kmeans/top-k kernels) is bypassed under "
@@ -218,7 +219,18 @@ def main(argv=None):
     # --- ④ similarity search (apply_r.lua:169-172, 265-318) ---
     print("Finding faces by similarity...")
     needles = jnp.array([(i + 1) * 100 - 1 for i in range(cfg.needles)])
-    if use_pallas_kernels and not cfg.approx:
+    if use_mesh and cfg.approx:
+        # approx + mesh goes through the tested shard_map collective merge
+        # (analysis/distributed.py) — ApproxTopK under plain-GSPMD
+        # partitioning is an unvalidated combination on hardware; the
+        # shard_map path keeps the op on per-shard full-replica scores
+        attr_topk = A.distributed_cosine_topk(
+            attributes, needles, 100, mesh, approx=True,
+            recall_target=cfg.recall_target)
+        pix_topk = A.distributed_cosine_topk(
+            images.reshape(images.shape[0], -1), needles, 100, mesh,
+            approx=True, recall_target=cfg.recall_target)
+    elif use_pallas_kernels and not cfg.approx:
         from ..ops.topk_kernel import cosine_topk_pallas
         attr_topk = cosine_topk_pallas(attributes, needles, 100)
         pix_topk = cosine_topk_pallas(
@@ -226,8 +238,10 @@ def main(argv=None):
     else:
         # --approx: TPU-native approximate k-selection on both measures
         # (opt-in; the kernels above are exact, so approx wins the branch)
-        attr_topk = A.cosine_topk(attributes, needles, 100, cfg.approx)
-        pix_topk = A.pixel_cosine_topk(images, needles, 100, cfg.approx)
+        attr_topk = A.cosine_topk(attributes, needles, 100, cfg.approx,
+                                  cfg.recall_target)
+        pix_topk = A.pixel_cosine_topk(images, needles, 100, cfg.approx,
+                                       cfg.recall_target)
     for tag, (scores, idx) in (("attributes", attr_topk),
                                ("pixelwise", pix_topk)):
         idx = np.asarray(idx)

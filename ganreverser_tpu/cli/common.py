@@ -97,7 +97,8 @@ def make_dataset(cfg) -> Dataset:
     # host-local "slice" of the global batch is the SAME images
     seed = cfg.seed + 7919 * jax.process_index()
     return Dataset([cfg.dataset], height=cfg.height, width=cfg.width,
-                   colorspace=cfg.colorSpace, seed=seed)
+                   colorspace=cfg.colorSpace, seed=seed,
+                   decode_draft=not getattr(cfg, "exact_decode", False))
 
 
 def build_gan_models(cfg, dtype):

@@ -49,7 +49,8 @@ def main(argv=None):
                    "state": g_tree["G"]["state"]}
 
     R = M.create_R(dims, cfg.noiseDim, cfg.noiseMethod, fixer=cfg.fixer,
-                   dtype=dtype)
+                   dtype=dtype,
+                   dropout_impl=getattr(cfg, "dropout", "threefry"))
     cont_plot_data: list = []
     if cfg.cont:
         r_tree, _, cont_extra = gio.load_checkpoint(cfg.cont)

@@ -105,6 +105,7 @@ class GanConfig(Config):
     height: int = _f(32, "height of the training images")
     width: int = _f(32, "width of the training images")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
     normalize: bool = _f(False, "normalize training data to [-1,1] (the reference's hardcoded NORMALIZE global, train.lua:51,217-218 — exposed as a flag here; mean/std travel in the checkpoint, train.lua:256)")
     init: str = _f("heuristic", "weight init: heuristic (clean default) | torch (reproduce the reference's accidental initial distributions — see models/zoo.py) | xavier | xavier_caffe | kaiming")
     # TPU-native additions (no reference equivalent):
@@ -137,6 +138,7 @@ class RConfig(Config):
     dataset: str = _f("NONE", "directory with *.jpg images (configured but unused for batches; R trains on (G(z), z) pairs, train_r.lua:138-139)")
     fixer: bool = _f(False, "train the error fixer (always-on input dropout)")
     prng: str = _f("threefry", "PRNG impl for the root key: threefry (deterministic across backends) | rbg (XLA-native, measured 1.5x faster R training steps on v5e — benchmarks/train_ablate.py)")
+    dropout: str = _f("threefry", "dropout-mask source for R's seven dropout layers: threefry (default) | kernel (in-kernel counter-hash masks, ops/dropout_kernel.py — no mask tensor in HBM, deterministic across backends/XLA versions; a different stream than threefry)")
     async_save: bool = _f(False, "overlap checkpoint file IO with the next segment's device work (device snapshot stays synchronous; errors surface at the next save)")
     # inherited from the G checkpoint at load time (train_r.lua:71-75):
     noiseDim: int = _f(32, "")
@@ -174,6 +176,7 @@ class ApplyConfig(Config):
     mesh_data: int = _f(1, "shard the N-axis of generation/inversion/search over this many devices (SURVEY.md §5.7 large-N path)")
     mesh_model: int = _f(1, "tensor-parallel axis: shard G/R's big Dense kernels over this many devices (the 128x128/z=256 workload, SURVEY.md §7 step 6); composes with --mesh_data")
     approx: bool = _f(False, "similarity search via TPU-native approximate k-selection (jax.lax.approx_max_k; measured 17-38x on the all-N shape at recall 0.93-0.99 — RESULTS.md round 3). The reference's rankings are exact, so exact stays the default; takes precedence over --pallas for the search section (the kernels are exact)")
+    recall_target: float = _f(0.95, "per-row recall target for --approx (passed to jax.lax.approx_max_k; higher = slower + more accurate). The CPU regression test pins the measured recall against the exact path (tests/test_analysis.py)")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")
 
 
@@ -198,6 +201,7 @@ class PretrainGConfig(Config):
     height: int = _f(32, "image height")
     width: int = _f(32, "image width")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
     compute_dtype: str = _f("float32", "compute dtype")
 
 
@@ -223,6 +227,7 @@ class PretrainPrevConfig(Config):
     network: str = _f("logs/adversarial", "previous G+D checkpoint to distill from")
     N_batches: int = _f(1000, "number of distillation batches")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
     compute_dtype: str = _f("float32", "compute dtype")
 
 
@@ -237,6 +242,7 @@ class SampleConfig(Config):
     neighbours_max: int = _f(0, "cap on training images scanned by --neighbours (0 = full trainset, like sample.lua:133's loadImages(0, 9999999))")
     runs: int = _f(1, "how often to sample and save images (sample.lua:17); run>1 artifacts get a _NNNN suffix")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
+    exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
     seed: int = _f(1, "RNG seed")
     colorSpace: str = _f("rgb", "warned-on when it mismatches the checkpoint (sample.lua:210-217); the checkpoint wins")
     height: int = _f(32, "warned-on when it mismatches the checkpoint")

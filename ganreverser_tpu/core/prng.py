@@ -22,8 +22,11 @@ def seed_key(seed: int, impl: str = "threefry") -> jax.Array:
     in 26.8 ms — 1.50x. Trade-off: rbg streams are not guaranteed stable
     across backends/XLA versions, hence opt-in (``--prng rbg`` on the
     training CLIs)."""
+    # impl is ALWAYS pinned explicitly: bare PRNGKey(seed) follows the
+    # jax_default_prng_impl config, so a JAX_DEFAULT_PRNG_IMPL=rbg in the
+    # environment would silently defeat '--prng threefry' determinism
     if impl == "threefry":
-        return jax.random.PRNGKey(seed)  # the impl-default-independent form
+        return jax.random.PRNGKey(seed, impl="threefry2x32")
     return jax.random.key(seed, impl=impl)
 
 

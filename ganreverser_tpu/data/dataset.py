@@ -51,7 +51,8 @@ def scan_image_paths(dirs: Sequence[str], ext: str = "jpg") -> List[str]:
     return files
 
 
-def _decode_resize(path: str, height: int, width: int) -> np.ndarray:
+def _decode_resize(path: str, height: int, width: int,
+                   draft: bool = True) -> np.ndarray:
     """JPEG decode (PIL's libjpeg-turbo codec) + bilinear resize via the
     C++ image-ops library (native/imageops.cc; numpy fallback inside).
 
@@ -61,11 +62,15 @@ def _decode_resize(path: str, height: int, width: int) -> np.ndarray:
     and all of the full-size pixel traffic is skipped, then the final
     bilinear pass does the exact geometry. Decoding is the measured host
     ingest bottleneck (RESULTS.md round 3: ~0.4 ms/img of the ~0.5 ms
-    total); the reference decodes full-size always (dataset.lua:148)."""
+    total); the reference decodes full-size always (dataset.lua:148).
+    Draft decode changes pixel values slightly for >=2x originals
+    (|err| < 0.05 tested); ``draft=False`` (Dataset(decode_draft=False) /
+    the CLIs' --exact_decode) restores full-size decode for parity
+    audits."""
     from PIL import Image
     from ..native import resize_bilinear_batch
     with Image.open(path) as im:
-        if im.format == "JPEG":
+        if draft and im.format == "JPEG":
             im.draft("RGB", (width, height))
         im = im.convert("RGB")
         arr = np.asarray(im, np.float32) / 255.0
@@ -80,7 +85,8 @@ class Dataset:
     def __init__(self, dirs: Sequence[str], *, height: int = 32,
                  width: int = 32, colorspace: str = "rgb",
                  file_extension: str = "jpg", seed: int = 1,
-                 decode_workers: Optional[int] = None):
+                 decode_workers: Optional[int] = None,
+                 decode_draft: bool = True):
         disable_hugepage_madvise()  # measured 72x fault-stall fix (hostmem.py)
         self.dirs = list(dirs)
         self.height = height
@@ -98,6 +104,7 @@ class Dataset:
         if decode_workers is None:
             decode_workers = os.cpu_count() or 1
         self.decode_workers = max(1, int(decode_workers))
+        self.decode_draft = decode_draft
         self._pool = None  # lazy persistent decode pool (see _decode_pool)
 
     def _decode_pool(self):
@@ -138,14 +145,16 @@ class Dataset:
         if self.decode_workers > 1 and len(paths) > 1:
 
             def decode_row(i):
-                out[i] = _decode_resize(paths[i], self.height, self.width)
+                out[i] = _decode_resize(paths[i], self.height, self.width,
+                                        self.decode_draft)
 
             # list(...) drains the iterator so worker exceptions
             # propagate here instead of being silently dropped
             list(self._decode_pool().map(decode_row, range(len(paths))))
         else:
             for i, p in enumerate(paths):
-                out[i] = _decode_resize(p, self.height, self.width)
+                out[i] = _decode_resize(p, self.height, self.width,
+                                        self.decode_draft)
         return out
 
     def load_images(self, start_at: int, count: int) -> np.ndarray:

@@ -255,6 +255,14 @@ class Dropout(Module):
     deactivating it 'produced broken images' (README.md:78-79)."""
     rate: float = 0.5
     always_on: bool = False
+    # 'threefry': jax.random.bernoulli masks from the layer key (default —
+    # the framework's reference stream). 'kernel': in-kernel counter-hash
+    # masks (ops/dropout_kernel.py) — no mask tensor ever touches HBM,
+    # stream fixed by source (not XLA version); measured motivation in
+    # that module's docstring. Falls back to threefry off-TPU (the
+    # interpreter is too slow for production) or for shapes the kernel
+    # can't tile.
+    impl: str = "threefry"
 
     def apply(self, variables, x, *, train=False, rng=None):
         active = train or self.always_on
@@ -262,6 +270,11 @@ class Dropout(Module):
             return x, {}
         if rng is None:
             raise ValueError("Dropout needs an rng key when active")
+        if self.impl == "kernel":
+            from ..ops import dropout_kernel as dk
+            if dk.supports(x.shape) and jax.default_backend() == "tpu":
+                return dk.fused_dropout(x, dk.seed_from_key(rng),
+                                        self.rate), {}
         keep = 1.0 - self.rate
         mask = jax.random.bernoulli(rng, keep, x.shape)
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype), {}

@@ -275,15 +275,17 @@ def create_D_facegen(dimensions: Dims, dtype: Any = jnp.float32,
 
 def create_R(dimensions: Dims, noise_dim: int, noise_method: str,
              fixer: bool = False, dtype: Any = jnp.float32,
-             init: str = "heuristic") -> Module:
+             init: str = "heuristic", dropout_impl: str = "threefry"
+             ) -> Module:
     """models.create_R == create_R_default (models.lua:385-387)."""
     return create_R_default(dimensions, noise_dim, noise_method, fixer,
-                            dtype, init)
+                            dtype, init, dropout_impl)
 
 
 def create_R_default(dimensions: Dims, noise_dim: int, noise_method: str,
                      fixer: bool = False, dtype: Any = jnp.float32,
-                     init: str = "heuristic") -> Module:
+                     init: str = "heuristic",
+                     dropout_impl: str = "threefry") -> Module:
     """create_R_default (models.lua:389-464).
 
     * ``fixer=True`` prepends a Dropout(0.5) that stays active even at
@@ -294,11 +296,16 @@ def create_R_default(dimensions: Dims, noise_dim: int, noise_method: str,
       plain nn.SpatialConvolution/nn.Linear, all top-level — so convs and
       linears are heuristic with zero bias in BOTH modes; only the BN
       scales differ (uniform(0,1) faithful vs ones default).
+    * ``dropout_impl="kernel"``: element-dropout masks from the in-kernel
+      counter hash (ops/dropout_kernel.py) — R's seven dropouts are the
+      measured RNG hot spot of the training step (--dropout kernel on
+      train_r); 'threefry' (default) keeps the reference mask stream.
     """
     assert noise_method in ("normal", "uniform"), noise_method
     c, h, w = dimensions
     bs = "torch" if init == "torch" else "ones"
     sc = "heuristic" if init == "torch" else init
+    di = dropout_impl
 
     def block(feat):
         return [Conv(feat, 3, init_scheme=sc, dtype=dtype),
@@ -306,23 +313,24 @@ def create_R_default(dimensions: Dims, noise_dim: int, noise_method: str,
 
     layers = []
     if fixer:
-        layers.append(Dropout(0.5, always_on=True))
+        layers.append(Dropout(0.5, always_on=True, impl=di))
     # 3 blocks at 64 channels (models.lua:409-423); nn.Dropout() default 0.5
     layers += [
-        *block(64), Dropout(0.5),
-        *block(64), Dropout(0.5),
-        *block(64), MaxPool(2), Dropout(0.5),
+        *block(64), Dropout(0.5, impl=di),
+        *block(64), Dropout(0.5, impl=di),
+        *block(64), MaxPool(2), Dropout(0.5, impl=di),
     ]
     # 3 blocks at 128 channels (models.lua:426-440)
     layers += [
-        *block(128), Dropout(0.5),
-        *block(128), Dropout(0.5),
+        *block(128), Dropout(0.5, impl=di),
+        *block(128), Dropout(0.5, impl=di),
         *block(128), SpatialDropout(0.25), MaxPool(2),
     ]
     layers += [
         Flatten(),
         Dense(512, init_scheme=sc, dtype=dtype),
-        BatchNorm(512, scale_init=bs, dtype=dtype), _act("elu"), Dropout(0.5),
+        BatchNorm(512, scale_init=bs, dtype=dtype), _act("elu"),
+        Dropout(0.5, impl=di),
         Dense(noise_dim, init_scheme=sc, dtype=dtype),
     ]
     if noise_method != "normal":

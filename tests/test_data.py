@@ -191,6 +191,28 @@ def test_decode_draft_scaling(tmp_path):
             assert np.abs(out - ref).max() < 0.05
 
 
+def test_decode_draft_opt_out(tmp_path):
+    """Dataset(decode_draft=False) — the CLIs' --exact_decode — restores
+    the reference's full-size decode (dataset.lua:148) exactly: the loaded
+    batch is bit-identical to full-decode + bilinear, for a >=2x original
+    where draft mode WOULD deviate."""
+    from PIL import Image
+    from ganreverser_tpu.data.dataset import Dataset
+    from ganreverser_tpu.native import resize_bilinear_batch
+    y, x = np.mgrid[0:256, 0:256] / 256.0
+    smooth = np.stack([np.sin(4 * y) * 0.5 + 0.5, x, y * x], -1)
+    p = tmp_path / "big.jpg"
+    Image.fromarray((smooth * 255).astype(np.uint8)).save(p, quality=95)
+    with Image.open(p) as im:
+        full = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    ref = resize_bilinear_batch(full[None], 64, 64)
+    kw = dict(height=64, width=64, colorspace="rgb")
+    exact = Dataset([str(tmp_path)], decode_draft=False, **kw)
+    np.testing.assert_array_equal(exact.load_images(0, 1), ref)
+    draft = Dataset([str(tmp_path)], **kw)  # default stays draft
+    assert not np.array_equal(draft.load_images(0, 1), ref)
+
+
 def test_decode_workers_parity(tmp_path, rng):
     """Thread-pool decode (decode_workers>1) produces bit-identical
     batches to the serial loop — each worker writes a disjoint row."""

@@ -118,3 +118,121 @@ def test_distributed_invert_dp_tp_matches_single(key):
     np.testing.assert_allclose(np.asarray(ev), np.asarray(sv),
                                rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(ei), np.asarray(si))
+
+
+def test_distributed_e2e_matches_single(key):
+    """The mesh-sharded fused e2e program (ONE jitted shard_map program:
+    per-shard G->R chunk scan + ICI all-gather + per-shard needle search)
+    matches the single-device fused program — embeddings and top-k values
+    (the v5e-8 north-star pipeline, BASELINE.md / apply_r.lua:143-153 +
+    265-318). Untrained-model embeddings are near-collinear (cosine gaps
+    below fp noise) so index order on ties is not asserted here; exact
+    index parity is pinned on separated embeddings in
+    test_distributed_e2e_exact_indices."""
+    dims, nd, n = (1, 8, 8), 8, 64
+    G = M.create_G(dims, nd)
+    R = M.create_R(dims, nd, "normal")
+    gk, rk, zk = jax.random.split(key, 3)
+    gv, _ = G.init(gk, (nd,))
+    rv, _ = R.init(rk, (8, 8, 1))
+    z = jax.random.normal(zk, (n, nd))
+
+    single = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=16)
+    emb_ref, v_ref, i_ref = single(gv, rv, z)
+
+    mesh = par.make_mesh()  # 8 fake devices, pure DP
+    dist = A.make_distributed_e2e_program(G, R, mesh=mesh, batch_size=8,
+                                          k=4, needle_chunk=16)
+    emb, v, i = dist(par.replicate(gv, mesh), par.replicate(rv, mesh),
+                     par.shard_batch(z, mesh))
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-6)
+    # every row's best match scores ~1.0 (itself, or a tie within fp noise)
+    assert float(np.asarray(v)[:, 0].min()) > 0.999
+
+
+def _separated_pipeline():
+    """A G→R stand-in with WELL-SEPARATED embeddings (random tanh mixing)
+    so top-k index order has no fp ties: g_apply ignores the G params and
+    maps z to deterministic pseudo-images; R = Flatten."""
+    from ganreverser_tpu.models.modules import Flatten
+    nd = 8
+    W = jax.random.normal(jax.random.PRNGKey(7), (nd, 16))
+
+    def g_apply(_gv, zc):
+        return jnp.tanh(zc @ W).reshape(zc.shape[0], 4, 4, 1)
+
+    return g_apply, Flatten(), nd
+
+
+def test_distributed_e2e_exact_indices(key):
+    """Exact global-index parity of BOTH measures (embedding all-gather
+    search AND the ppermute-ring pixel search) against the single-device
+    fused program, on separated embeddings."""
+    g_apply, R, nd = _separated_pipeline()
+    G = M.create_G((1, 8, 8), nd)  # params unused by g_apply
+    gv, _ = G.init(jax.random.fold_in(key, 1), (nd,))
+    n = 64
+    z = jax.random.normal(jax.random.fold_in(key, 2), (n, nd))
+
+    single = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=16,
+                                g_apply=g_apply, pixel_k=3)
+    emb_ref, v_ref, i_ref, pv_ref, pi_ref = single(gv, {}, z)
+
+    mesh = par.make_mesh()
+    dist = A.make_distributed_e2e_program(
+        G, R, mesh=mesh, batch_size=8, k=4, needle_chunk=16,
+        g_apply=g_apply, pixel_k=3)
+    emb, v, i, pv, pi = dist(par.replicate(gv, mesh), {},
+                             par.shard_batch(z, mesh))
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(pv_ref),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(pi), np.asarray(pi_ref))
+
+
+def test_distributed_e2e_pixel_ring_matches_single(key):
+    """The ppermute-ring pixel measure of the distributed e2e program
+    (blocks rotate over ICI, candidates fold into a running top-k) matches
+    the single-device pixel leg's VALUES on the real G→R models (index
+    ties under fp noise are pinned in test_distributed_e2e_exact_indices
+    instead)."""
+    dims, nd, n = (1, 8, 8), 8, 64
+    G = M.create_G(dims, nd)
+    R = M.create_R(dims, nd, "normal")
+    gk, rk, zk = jax.random.split(key, 3)
+    gv, _ = G.init(gk, (nd,))
+    rv, _ = R.init(rk, (8, 8, 1))
+    z = jax.random.normal(zk, (n, nd))
+
+    single = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=16,
+                                pixel_k=3)
+    emb_ref, v_ref, i_ref, pv_ref, pi_ref = single(gv, rv, z)
+
+    mesh = par.make_mesh()
+    dist = A.make_distributed_e2e_program(G, R, mesh=mesh, batch_size=8,
+                                          k=4, needle_chunk=16, pixel_k=3)
+    emb, v, i, pv, pi = dist(par.replicate(gv, mesh),
+                             par.replicate(rv, mesh),
+                             par.shard_batch(z, mesh))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(pv_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_e2e_rejects_model_axis(key):
+    G = M.create_G((1, 8, 8), 8)
+    R = M.create_R((1, 8, 8), 8, "normal")
+    mesh = par.make_mesh(data=4, model=2)
+    try:
+        A.make_distributed_e2e_program(G, R, mesh=mesh)
+        assert False, "expected ValueError for model axis > 1"
+    except ValueError as e:
+        assert "model axis" in str(e)

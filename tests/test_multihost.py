@@ -6,6 +6,10 @@ asserting both processes compute the same loss."""
 import os
 import socket
 import subprocess
+
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns 2 jax.distributed processes + a full train-CLI run
 import sys
 
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
