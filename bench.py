@@ -276,6 +276,16 @@ def main(argv=None):
             print(f"[bench] end-to-end (fused, approx top-k rt=0.95): "
                   f"{n_images / t_ea:,.0f} img/s ({t_ea*1e3:.1f} ms)",
                   file=sys.stderr)
+            # BOTH reference similarity measures in one program: the
+            # embedding search plus the wide-D pixel-cosine leg
+            # (apply_r.lua:307-314) — so the 'end-to-end' label above is
+            # explicitly embeddings-only and this line is the full scope
+            e2e_pix = make_e2e_program(G, R, batch_size=batch, k=100,
+                                       pixel_k=100)
+            t_ep = _time_best(e2e_pix, g_vars, r_vars, z)
+            print(f"[bench] end-to-end (fused, + pixel-cosine measure): "
+                  f"{n_images / t_ep:,.0f} img/s ({t_ep*1e3:.1f} ms)",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — report, keep headline
             print(f"[bench] fused e2e program failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)

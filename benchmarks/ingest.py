@@ -124,6 +124,31 @@ def main(argv=None):
     t_cs = timeit(lambda: rgb_to_colorspace(small, "yuv"))
     _emit(f"rgb->yuv {hw}x{hw} batch512", 512 / t_cs, "img/s")
 
+    # --- decoded-tensor disk cache: cold (fill) vs warm epochs ----------
+    # the reference re-decodes every epoch (dataset.lua:137-173); the
+    # cache (data/cache.py) lifts epochs 2..N past the decode bound
+    if "--cache" in argv:
+        import shutil
+        import tempfile
+        cache_dir = tempfile.mkdtemp(prefix="ingest_cache_")
+        try:
+            ds = Dataset([fixture], height=hw, width=hw, colorspace="rgb",
+                         decode_workers=workers, cache_dir=cache_dir)
+            ds.load_images(0, 32)  # warm path/page caches (also fills 32)
+            t0 = time.perf_counter()
+            ds.load_images(0, n)
+            t_cold = time.perf_counter() - t0
+            _emit("epoch 1 decode+fill cache (dataset.load_images)",
+                  n / t_cold, "img/s", ms_total=round(t_cold * 1e3, 1))
+            t0 = time.perf_counter()
+            ds.load_images(0, n)
+            t_warm = time.perf_counter() - t0
+            _emit("epoch 2 cache-hit (dataset.load_images)", n / t_warm,
+                  "img/s", ms_total=round(t_warm * 1e3, 1),
+                  warm_speedup=round(t_cold / t_warm, 2))
+        finally:
+            shutil.rmtree(cache_dir, ignore_errors=True)
+
     # --- prefetch pipeline: loader thread + simulated consumer ----------
     from ganreverser_tpu.data.prefetch import prefetch_to_device
     ds = Dataset([fixture], height=hw, width=hw, colorspace="rgb",

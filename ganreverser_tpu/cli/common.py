@@ -98,7 +98,8 @@ def make_dataset(cfg) -> Dataset:
     seed = cfg.seed + 7919 * jax.process_index()
     return Dataset([cfg.dataset], height=cfg.height, width=cfg.width,
                    colorspace=cfg.colorSpace, seed=seed,
-                   decode_draft=not getattr(cfg, "exact_decode", False))
+                   decode_draft=not getattr(cfg, "exact_decode", False),
+                   cache_dir=getattr(cfg, "decode_cache", "") or None)
 
 
 def build_gan_models(cfg, dtype):

@@ -106,6 +106,7 @@ class GanConfig(Config):
     width: int = _f(32, "width of the training images")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
     exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
+    decode_cache: str = _f("", "directory for the decoded-tensor disk cache (data/cache.py): repeated epochs skip JPEG decode; uint8-quantized (max err 0.002), so parity audits leave it off")
     normalize: bool = _f(False, "normalize training data to [-1,1] (the reference's hardcoded NORMALIZE global, train.lua:51,217-218 — exposed as a flag here; mean/std travel in the checkpoint, train.lua:256)")
     init: str = _f("heuristic", "weight init: heuristic (clean default) | torch (reproduce the reference's accidental initial distributions — see models/zoo.py) | xavier | xavier_caffe | kaiming")
     # TPU-native additions (no reference equivalent):
@@ -202,6 +203,7 @@ class PretrainGConfig(Config):
     width: int = _f(32, "image width")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
     exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
+    decode_cache: str = _f("", "directory for the decoded-tensor disk cache (data/cache.py): repeated epochs skip JPEG decode; uint8-quantized (max err 0.002), so parity audits leave it off")
     compute_dtype: str = _f("float32", "compute dtype")
 
 
@@ -228,6 +230,7 @@ class PretrainPrevConfig(Config):
     N_batches: int = _f(1000, "number of distillation batches")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
     exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
+    decode_cache: str = _f("", "directory for the decoded-tensor disk cache (data/cache.py): repeated epochs skip JPEG decode; uint8-quantized (max err 0.002), so parity audits leave it off")
     compute_dtype: str = _f("float32", "compute dtype")
 
 
@@ -243,6 +246,7 @@ class SampleConfig(Config):
     runs: int = _f(1, "how often to sample and save images (sample.lua:17); run>1 artifacts get a _NNNN suffix")
     dataset: str = _f("NONE", "directory with *.jpg images, or 'synthetic'")
     exact_decode: bool = _f(False, "full-size exact JPEG decode (parity audits); default is DCT-scaled draft decode — bit-exact below 2x originals, |err|<0.05 at >=2x, 1.9-3.1x faster (data/dataset.py)")
+    decode_cache: str = _f("", "directory for the decoded-tensor disk cache (data/cache.py): repeated epochs skip JPEG decode; uint8-quantized (max err 0.002), so parity audits leave it off")
     seed: int = _f(1, "RNG seed")
     colorSpace: str = _f("rgb", "warned-on when it mismatches the checkpoint (sample.lua:210-217); the checkpoint wins")
     height: int = _f(32, "warned-on when it mismatches the checkpoint")

@@ -86,7 +86,8 @@ class Dataset:
                  width: int = 32, colorspace: str = "rgb",
                  file_extension: str = "jpg", seed: int = 1,
                  decode_workers: Optional[int] = None,
-                 decode_draft: bool = True):
+                 decode_draft: bool = True,
+                 cache_dir: Optional[str] = None):
         disable_hugepage_madvise()  # measured 72x fault-stall fix (hostmem.py)
         self.dirs = list(dirs)
         self.height = height
@@ -105,6 +106,11 @@ class Dataset:
             decode_workers = os.cpu_count() or 1
         self.decode_workers = max(1, int(decode_workers))
         self.decode_draft = decode_draft
+        # opt-in decoded-tensor disk cache (data/cache.py): the reference
+        # re-decodes every epoch (dataset.lua:137-173); repeated epochs on
+        # the same files are decode-bound on 1-core hosts
+        self.cache_dir = cache_dir
+        self._cache = None
         self._pool = None  # lazy persistent decode pool (see _decode_pool)
 
     def _decode_pool(self):
@@ -133,28 +139,44 @@ class Dataset:
     def _finish(self, images: np.ndarray) -> np.ndarray:
         return rgb_to_colorspace(images, self.colorspace)
 
-    def _decode_into(self, paths: Sequence[str]) -> np.ndarray:
+    def _get_cache(self):
+        if self.cache_dir is not None and self._cache is None:
+            from .cache import DecodedCache
+            self._cache = DecodedCache(self.cache_dir, self.paths,
+                                       self.height, self.width)
+        return self._cache
+
+    def _decode_into(self, indices: Sequence[int]) -> np.ndarray:
         """Decode each file straight into one preallocated batch tensor
         (no per-image array list + np.stack copy — the decode loop is the
         host hot path, dataset.lua:148-151). With ``decode_workers > 1``
         the files decode in a thread pool: each worker writes its own
         row of ``out`` (disjoint — no synchronization needed) and PIL's
         libjpeg call releases the GIL, so decode parallelizes on real
-        multi-core hosts."""
-        out = np.empty((len(paths), self.height, self.width, 3), np.float32)
-        if self.decode_workers > 1 and len(paths) > 1:
+        multi-core hosts. ``indices`` are positions into self.paths; with
+        ``cache_dir`` set, already-decoded rows come from the disk slab
+        and fresh decodes warm it (data/cache.py)."""
+        out = np.empty((len(indices), self.height, self.width, 3),
+                       np.float32)
+        cache = self._get_cache()
 
-            def decode_row(i):
-                out[i] = _decode_resize(paths[i], self.height, self.width,
-                                        self.decode_draft)
+        def decode_row(i):
+            gi = indices[i]
+            if cache is not None and cache.hit(gi):
+                out[i] = cache.get(gi)
+                return
+            out[i] = _decode_resize(self.paths[gi], self.height, self.width,
+                                    self.decode_draft)
+            if cache is not None:
+                cache.put(gi, out[i])
 
+        if self.decode_workers > 1 and len(indices) > 1:
             # list(...) drains the iterator so worker exceptions
             # propagate here instead of being silently dropped
-            list(self._decode_pool().map(decode_row, range(len(paths))))
+            list(self._decode_pool().map(decode_row, range(len(indices))))
         else:
-            for i, p in enumerate(paths):
-                out[i] = _decode_resize(p, self.height, self.width,
-                                        self.decode_draft)
+            for i in range(len(indices)):
+                decode_row(i)
         return out
 
     def load_images(self, start_at: int, count: int) -> np.ndarray:
@@ -165,8 +187,7 @@ class Dataset:
                 count, self.height, self.width,
                 np.random.default_rng(start_at)))
         n = min(count, len(self.paths) - start_at)
-        imgs = self._decode_into(
-            [self.paths[start_at + i] for i in range(n)])
+        imgs = self._decode_into(range(start_at, start_at + n))
         return self._finish(imgs)
 
     def load_random_images(self, count: int) -> np.ndarray:
@@ -177,7 +198,7 @@ class Dataset:
                 count, self.height, self.width, self._rng))
         perm = self._rng.permutation(len(self.paths))
         n = min(count, len(perm))
-        imgs = self._decode_into([self.paths[perm[i]] for i in range(n)])
+        imgs = self._decode_into([int(perm[i]) for i in range(n)])
         return self._finish(imgs)
 
 

@@ -245,3 +245,43 @@ def test_prefetch_with_pooled_decode(tmp_path, rng):
     direct = ds.load_images(0, 16)
     got = np.concatenate([np.asarray(b) for b in batches])
     np.testing.assert_array_equal(got, direct)
+
+
+def test_decode_cache_warm_hits_and_quantization(tmp_path, rng):
+    """Decoded-tensor disk cache (data/cache.py): a second epoch serves
+    every row from the slab (fill_count pinned), warm loads match cold
+    loads within the documented uint8 quantization bound (1/510), and the
+    cache key changes with geometry (no stale hits). The reference
+    re-decodes every epoch (dataset.lua:137-173) — the cache is the
+    opt-in deviation, so its accuracy contract is pinned here."""
+    from PIL import Image
+    for i in range(10):
+        arr = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.jpg")
+    cache_dir = str(tmp_path / "cache")
+    kw = dict(height=16, width=16, colorspace="rgb", decode_workers=2)
+    plain = D.Dataset([str(tmp_path)], **kw)
+    cached = D.Dataset([str(tmp_path)], cache_dir=cache_dir, **kw)
+    ref = plain.load_images(0, 10)
+    cold = cached.load_images(0, 10)          # fills the slab
+    np.testing.assert_allclose(cold, ref, atol=1 / 510 + 1e-7)
+    assert cached._cache.fill_count == 10
+    warm = cached.load_images(0, 10)          # every row from the slab
+    np.testing.assert_allclose(warm, ref, atol=1 / 510 + 1e-7)
+    # the warm epoch is uint8-roundtrip-stable: re-reading the slab gives
+    # bit-identical rows (quantize once, not per epoch)
+    np.testing.assert_array_equal(warm, cached.load_images(0, 10))
+    # a second Dataset over the same dir reuses the slab from disk
+    reopened = D.Dataset([str(tmp_path)], cache_dir=cache_dir, **kw)
+    reopened.load_images(0, 10)
+    assert reopened._cache.fill_count == 10
+    # random-order loads hit the same rows
+    rand = cached.load_random_images(10)
+    assert sorted(map(tuple, rand.reshape(10, -1).round(3).tolist())) == \
+        sorted(map(tuple, warm.reshape(10, -1).round(3).tolist()))
+    # geometry change -> different key -> cold cache, correct shape
+    other = D.Dataset([str(tmp_path)], height=8, width=8, colorspace="rgb",
+                      cache_dir=cache_dir)
+    assert other.load_images(0, 10).shape == (10, 8, 8, 3)
+    assert other._cache.fill_count == 10
+    assert other._cache._slab.shape == (10, 8, 8, 3)
