@@ -5,7 +5,7 @@
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p benchmarks/logs
-TAG=${1:-r03}
+TAG=${1:-r04}
 
 run() { # run <tag> <timeout_s> <cmd...>
   local tag=$1 to=$2; shift 2
@@ -33,6 +33,13 @@ run roofline_g   1500 python benchmarks/roofline.py g
 run roofline_dg  1500 python benchmarks/roofline.py dg
 run roofline_r   1500 python benchmarks/roofline.py r
 run roofline_f32 2400 python benchmarks/roofline.py --f32 dg
+# 5a. round-4: per-ingredient r_step ablation incl. the in-kernel
+#     counter-hash dropout (--dropout kernel ship/no-ship decision,
+#     VERDICT r3 item 3) and the rbg comparison
+run ablate       3600 python benchmarks/train_ablate.py
+# 5a'. round-4: conv + training-mode BN-stats fusion probe (VERDICT r3
+#     item 5 — the one untried training kernel axis; keep or close)
+run convbn       2400 python benchmarks/convbn_probe.py
 # 5b. kernel tile sweeps (round-2 parity maintenance — keep, cheaper now)
 run up_stages    1800 python benchmarks/tpu_kernel_check.py upsample_stages
 run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages
@@ -59,5 +66,5 @@ run e2e_apply_ax 2400 python -m ganreverser_tpu.cli.apply_r \
   --G "$E2E/logs/adversarial" --save "$E2E/logs" \
   --writeto "$E2E/apply_ax" --N 2048 --clusters 4 --kmeans_iters 5 \
   --needles 2 --anomalies_n 256 --batchSize 256 \
-  --approx --compute_dtype bfloat16
+  --approx --recall_target 0.95 --compute_dtype bfloat16
 echo done
