@@ -295,8 +295,12 @@ def main(argv=None):
         # make_distributed_e2e_program). Functional on a virtual CPU mesh
         # today (parity-tested); on a real pod slice this is the program
         # the ≥50k img/s target runs through.
+        # mesh_data == 1 is allowed on purpose: a 1-device mesh times the
+        # SAME shard_map program the pod runs, so (fused e2e) - (1-way DP)
+        # measures the collective-wrapping overhead the x8 projection
+        # rides on — measurable on the single real chip.
         n_dev = len(jax.devices())
-        if mesh_data > 1 and n_dev >= mesh_data:
+        if mesh_data >= 1 and n_dev >= mesh_data:
             try:
                 from ganreverser_tpu import parallel as par
                 from ganreverser_tpu.analysis.e2e import \

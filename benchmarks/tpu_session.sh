@@ -17,8 +17,11 @@ run() { # run <tag> <timeout_s> <cmd...>
 run probe        600  python benchmarks/tpu_pallas_probe.py
 # 1. headline bench (R inversion; picks the faster parity-tested path)
 run bench        2400 python bench.py
-# 2. full bench: all G legs + the MEASURED fused e2e program (item 2)
-run bench_full   3600 python bench.py --full
+# 2. full bench: all G legs + the MEASURED fused e2e program (item 2);
+#    --mesh_data 1 also times the distributed shard_map e2e on the one
+#    chip (its delta vs the plain fused program = collective-wrapping
+#    overhead, the evidence behind the x8 pod projection)
+run bench_full   3600 python bench.py --full --mesh_data 1
 # 3. the six-config matrix (training rates, inversion pipeline, refinement)
 run matrix       7200 python benchmarks/matrix.py
 # 4. round-3: wide-D pixel-similarity selection shot (VERDICT r2 item 8)

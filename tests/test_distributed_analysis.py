@@ -140,17 +140,20 @@ def test_distributed_e2e_matches_single(key):
     single = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=16)
     emb_ref, v_ref, i_ref = single(gv, rv, z)
 
-    mesh = par.make_mesh()  # 8 fake devices, pure DP
-    dist = A.make_distributed_e2e_program(G, R, mesh=mesh, batch_size=8,
-                                          k=4, needle_chunk=16)
-    emb, v, i = dist(par.replicate(gv, mesh), par.replicate(rv, mesh),
-                     par.shard_batch(z, mesh))
-    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
-                               rtol=1e-5, atol=1e-6)
-    # every row's best match scores ~1.0 (itself, or a tie within fp noise)
-    assert float(np.asarray(v)[:, 0].min()) > 0.999
+    # data=8: the pod shape; data=1: the degenerate mesh bench.py times on
+    # the single real chip to expose the collective-wrapping overhead
+    for data in (8, 1):
+        mesh = par.make_mesh(data=data, model=1)
+        dist = A.make_distributed_e2e_program(G, R, mesh=mesh, batch_size=8,
+                                              k=4, needle_chunk=16)
+        emb, v, i = dist(par.replicate(gv, mesh), par.replicate(rv, mesh),
+                         par.shard_batch(z, mesh))
+        np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   rtol=1e-5, atol=1e-6)
+        # row's best match scores ~1.0 (itself, or a tie within fp noise)
+        assert float(np.asarray(v)[:, 0].min()) > 0.999
 
 
 def _separated_pipeline():
