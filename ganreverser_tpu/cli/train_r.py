@@ -48,9 +48,20 @@ def main(argv=None):
     g_variables = {"params": g_tree["G"]["params"],
                    "state": g_tree["G"]["state"]}
 
+    dropout_impl = getattr(cfg, "dropout", "threefry")
+    if dropout_impl == "kernel" and (cfg.mesh_data != 1
+                                     or cfg.mesh_model != 1
+                                     or jax.process_count() > 1):
+        # the r step meshes via GSPMD sharding constraints (r_loop.py);
+        # a pallas_call there has no partitioning rule, so the partitioner
+        # would replicate the sharded activation (and correlate masks
+        # across shards via the local counter indices) — same tested-path
+        # routing rationale as apply_r's mesh+approx case
+        print("<trainer> NOTE: --dropout kernel is single-device only; "
+              "using threefry masks under --mesh_*/multi-process")
+        dropout_impl = "threefry"
     R = M.create_R(dims, cfg.noiseDim, cfg.noiseMethod, fixer=cfg.fixer,
-                   dtype=dtype,
-                   dropout_impl=getattr(cfg, "dropout", "threefry"))
+                   dtype=dtype, dropout_impl=dropout_impl)
     cont_plot_data: list = []
     if cfg.cont:
         r_tree, _, cont_extra = gio.load_checkpoint(cfg.cont)

@@ -139,7 +139,7 @@ class RConfig(Config):
     dataset: str = _f("NONE", "directory with *.jpg images (configured but unused for batches; R trains on (G(z), z) pairs, train_r.lua:138-139)")
     fixer: bool = _f(False, "train the error fixer (always-on input dropout)")
     prng: str = _f("threefry", "PRNG impl for the root key: threefry (deterministic across backends) | rbg (XLA-native, measured 1.5x faster R training steps on v5e — benchmarks/train_ablate.py)")
-    dropout: str = _f("threefry", "dropout-mask source for R's seven dropout layers: threefry (default) | kernel (in-kernel counter-hash masks, ops/dropout_kernel.py — no mask tensor in HBM, deterministic across backends/XLA versions; a different stream than threefry)")
+    dropout: str = _f("threefry", "dropout-mask source for R's seven dropout layers: threefry (default) | kernel (in-kernel counter-hash masks, ops/dropout_kernel.py — no mask tensor in HBM, deterministic across backends/XLA versions; a different stream than threefry; single-device only — falls back to threefry under --mesh_*/multi-process)")
     async_save: bool = _f(False, "overlap checkpoint file IO with the next segment's device work (device snapshot stays synchronous; errors surface at the next save)")
     # inherited from the G checkpoint at load time (train_r.lua:71-75):
     noiseDim: int = _f(32, "")
