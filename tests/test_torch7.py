@@ -538,6 +538,116 @@ def test_import_cli(tmp_path, g3_torch, d2_torch):
     assert gio.exists(str(tmp_path / "logs" / "adversarial"))
 
 
+def test_g4_import_forward_parity():
+    """create_G4 (models.lua:145-194): 32 branch Sequentials inside an
+    nn.Concat — pins nested containers, the in-branch Linear->View
+    permutation, and cross-branch channel-concat ordering."""
+    nd, c = 5, 3
+    nb = 4  # 4 of the 32 branches are enough to pin the wiring
+    branches_t, branch_mods = [], []
+    for _ in range(nb):
+        l1 = torch.nn.Linear(nd, 16)
+        p1 = torch.nn.PReLU()
+        l2 = torch.nn.Linear(16, 16 * 16 * 16)
+        bn1 = _rand_bn(16 * 16 * 16, spatial=False)
+        p2 = torch.nn.PReLU()
+        cv = torch.nn.Conv2d(16, 16, 3, padding=1)
+        bn2 = _rand_bn(16, spatial=True)
+        p3 = torch.nn.PReLU()
+        branch_mods.append((l1, p1, l2, bn1, p2, cv, bn2, p3))
+        branches_t.append(t7_seq([
+            t7_linear(l1), t7_prelu(p1), t7_linear(l2), t7_bn(bn1, False),
+            t7_prelu(p2), _skip("nn.View"),
+            _skip("nn.SpatialUpSamplingNearest"),
+            t7_conv(cv), t7_bn(bn2, True), t7_prelu(p3)]))
+    top1 = torch.nn.Conv2d(16 * nb, 64, 3, padding=1)
+    tbn = _rand_bn(64, spatial=True)
+    tp = torch.nn.PReLU()
+    top2 = torch.nn.Conv2d(64, c, 3, padding=1)
+
+    def prelu(x, p):
+        return F.prelu(x, p.weight)
+
+    @torch.no_grad()
+    def forward(z):  # literal NCHW, View(16,16,16), Concat on channels
+        outs = []
+        for (l1, p1, l2, bn1, p2, cv, bn2, p3) in branch_mods:
+            x = prelu(l1(z), p1)
+            x = prelu(_bn_f(l2(x), bn1), p2)
+            x = x.view(-1, 16, 16, 16)
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            x = prelu(_bn_f(cv(x), bn2), p3)
+            outs.append(x)
+        y = torch.cat(outs, dim=1)
+        y = prelu(_bn_f(top1(y), tbn), tp)
+        return torch.sigmoid(top2(y))
+
+    tree = t7_decode(t7_seq([
+        T7Obj("nn.Concat", modules=branches_t),
+        t7_conv(top1), t7_bn(tbn, True), t7_prelu(tp),
+        t7_conv(top2), _skip("nn.Sigmoid")]))
+
+    # our G4 with the branch count trimmed to match
+    from ganreverser_tpu.models import modules as mm
+    full = M.create_G4((c, 32, 32), nd)
+    concat = full.layers[0]
+    G4 = mm.Sequential([mm.ConcatBranches(list(concat.branches)[:nb])]
+                       + list(full.layers[1:]))
+    gv = map_module(G4, tree, (nd,), "G4")
+
+    z = np.random.default_rng(6).normal(size=(2, nd)).astype(np.float32)
+    theirs = forward(torch.from_numpy(z)).numpy()
+    ours, _ = G4.apply(jax.tree.map(jnp.asarray, gv), jnp.asarray(z),
+                       train=False)
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.transpose(0, 2, 3, 1),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_g_encoder_import_forward_parity():
+    """create_G_encoder (models.lua:57-102): AvgPool/MaxPool mix and the
+    Flatten->Linear input permutation."""
+    nd, c, h, w = 6, 3, 16, 16
+    c1 = torch.nn.Conv2d(c, 16, 3, padding=1)
+    b1 = _rand_bn(16, spatial=True)
+    c2 = torch.nn.Conv2d(16, 32, 3, padding=1)
+    b2 = _rand_bn(32, spatial=True)
+    c3 = torch.nn.Conv2d(32, 64, 3, padding=1)
+    b3 = _rand_bn(64, spatial=True)
+    l1 = torch.nn.Linear(64 * (h // 8) * (w // 8), 512)
+    b4 = _rand_bn(512, spatial=False)
+    l2 = torch.nn.Linear(512, nd)
+
+    @torch.no_grad()
+    def forward(imgs):
+        x = F.avg_pool2d(F.relu(_bn_f(c1(imgs), b1)), 2)
+        x = F.max_pool2d(F.relu(_bn_f(c2(x), b2)), 2)
+        x = F.max_pool2d(F.relu(_bn_f(c3(x), b3)), 2)
+        x = x.reshape(x.shape[0], -1)
+        x = F.relu(_bn_f(l1(x), b4))
+        return torch.tanh(l2(x))
+
+    tree = t7_decode(t7_seq([
+        t7_conv(c1), t7_bn(b1, True), _skip("cudnn.ReLU"),
+        _skip("nn.SpatialAveragePooling"),
+        t7_conv(c2), t7_bn(b2, True), _skip("cudnn.ReLU"),
+        _skip("nn.SpatialMaxPooling"),
+        t7_conv(c3), t7_bn(b3, True), _skip("cudnn.ReLU"),
+        _skip("nn.SpatialMaxPooling"), _skip("nn.View"),
+        t7_linear(l1), t7_bn(b4, False), _skip("cudnn.ReLU"),
+        t7_linear(l2), _skip("nn.Tanh")]))
+    E = M.create_G_encoder((c, h, w), nd)
+    ev = map_module(E, tree, (h, w, c), "E")
+
+    imgs = np.random.default_rng(7).uniform(
+        size=(3, c, h, w)).astype(np.float32)
+    theirs = forward(torch.from_numpy(imgs)).numpy()
+    ours, _ = E.apply(jax.tree.map(jnp.asarray, ev),
+                      jnp.asarray(imgs.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4,
+                               rtol=1e-3)
+
+
 def test_imported_checkpoint_drives_sample_cli(tmp_path, g3_torch,
                                                d2_torch):
     """Drop-in proof: a converted adversarial.net feeds the sample CLI
