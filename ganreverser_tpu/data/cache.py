@@ -48,17 +48,27 @@ class DecodedCache:
         self._slab_path = base + ".slab"
         self._present_path = base + ".present"
         if not os.path.exists(manifest):
-            # create-then-rename isn't needed: the key hash already makes
-            # a stale manifest impossible (any input change = new key)
+            # Staleness needs no create-then-rename (the key hash makes a
+            # stale manifest impossible: any input change = new key), but
+            # CONCURRENT creators do: multi-process ranks share cache_dir,
+            # and a second mode="w+" open would truncate a slab the first
+            # rank already mmap'd (SIGBUS on its next touch). Create under
+            # a pid-unique name and os.rename (atomic): the loser's mmap
+            # keeps its own inode alive — worst case is a spurious
+            # re-decode of rows the winner didn't see, never corruption.
+            tmp = f".{os.getpid()}.tmp"
             np.lib.format.open_memmap(
-                self._slab_path, mode="w+", dtype=np.uint8,
+                self._slab_path + tmp, mode="w+", dtype=np.uint8,
                 shape=(self.n, height, width, 3)).flush()
             np.lib.format.open_memmap(
-                self._present_path, mode="w+", dtype=np.uint8,
+                self._present_path + tmp, mode="w+", dtype=np.uint8,
                 shape=(self.n,)).flush()
-            with open(manifest, "w") as f:
+            os.rename(self._slab_path + tmp, self._slab_path)
+            os.rename(self._present_path + tmp, self._present_path)
+            with open(manifest + tmp, "w") as f:
                 json.dump({"paths": list(paths), "height": height,
                            "width": width, "dtype": "uint8"}, f)
+            os.rename(manifest + tmp, manifest)
         self._slab = np.lib.format.open_memmap(self._slab_path, mode="r+")
         self._present = np.lib.format.open_memmap(self._present_path,
                                                   mode="r+")
