@@ -526,6 +526,45 @@ def test_adversarial_file_import(tmp_path, g3_torch, d2_torch):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_decoder_only_import(tmp_path, g3_torch):
+    """pretrain_g.lua:202 layout {G=decoder, opt, EPOCH} — lands under the
+    g_pretrained_* name train.lua:148-157 auto-loads from."""
+    path = t7_file(tmp_path, "g_pretrained.net", {
+        "G": g3_torch["tree"],
+        "opt": {"noiseDim": 8, "height": 16, "width": 16,
+                "colorSpace": "rgb"},
+        "EPOCH": 4,
+    })
+    ckpt = import_t7(path, str(tmp_path / "logs"), verbose=False)
+    assert ckpt.endswith("g_pretrained_3x16x16_nd8")
+    tree, _, extra = gio.load_checkpoint(ckpt)
+    assert extra["epoch"] == 4
+    # decoder-only trees are bare {params, state} (what train.py consumes)
+    assert set(tree) == {"params", "state"}
+    z = np.random.default_rng(8).normal(size=(2, 8)).astype(np.float32)
+    theirs = g3_torch["forward"](torch.from_numpy(z)).numpy()
+    G = M.create_G((3, 16, 16), 8)
+    ours, _ = G.apply(jax.tree.map(jnp.asarray, tree), jnp.asarray(z),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_distilled_pair_import(tmp_path, g3_torch, d2_torch):
+    """pretrain_with_previous_net.lua:265 layout {G, D, opt} (no epoch/vis
+    keys) — lands under the pretrained_* name train.lua:127-138 auto-loads."""
+    path = t7_file(tmp_path, "pretrained.net", {
+        "G": g3_torch["tree"], "D": d2_torch["tree"],
+        "opt": {"noiseDim": 8, "height": 16, "width": 16,
+                "colorSpace": "rgb"},
+    })
+    ckpt = import_t7(path, str(tmp_path / "logs"), verbose=False)
+    assert ckpt.endswith("pretrained_3x16x16_nd8")
+    tree, _, _ = gio.load_checkpoint(ckpt)
+    assert "G" in tree and "D" in tree
+
+
 def test_import_cli(tmp_path, g3_torch, d2_torch):
     path = t7_file(tmp_path, "adversarial.net", {
         "G": g3_torch["tree"], "D": d2_torch["tree"],
