@@ -31,7 +31,11 @@ import jax.numpy as jnp
 
 PER_CHIP_TARGET = 50000.0 / 8.0  # north-star v5e-8 target, per chip
 
-BACKEND_INIT_TIMEOUT_S = 600  # hang guard for a wedged TPU-tunnel plugin
+BACKEND_INIT_TIMEOUT_S = 180  # hang guard for a wedged TPU-tunnel plugin
+# 180s is generous: a healthy tunnel initializes + runs the 128x128 probe
+# matmul in seconds (observed all sessions); the budget saved on a wedged
+# tunnel goes to the CPU-fallback compile+run instead, so the driver's
+# bench window always produces a JSON line.
 
 
 def _resolve_backend() -> str:
@@ -56,10 +60,18 @@ def _resolve_backend() -> str:
 
     import subprocess
     try:
+        # the probe must run a REAL device op, not just init: round-4
+        # observed a third wedge mode where the plugin registers and
+        # backend init succeeds but the first device operation blocks
+        # forever — init-only probing reports 'healthy' and the benchmark
+        # then hangs in-process past any driver budget
         probe = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "print('OK', float((x @ x).sum()))"],
             capture_output=True, text=True, timeout=BACKEND_INIT_TIMEOUT_S)
-        if probe.returncode == 0 and probe.stdout.strip():
+        if probe.returncode == 0 and probe.stdout.strip().startswith("OK"):
             return jax.default_backend()  # plugin healthy; init in-process
         reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
     except subprocess.TimeoutExpired:
