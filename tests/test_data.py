@@ -247,6 +247,53 @@ def test_prefetch_with_pooled_decode(tmp_path, rng):
     np.testing.assert_array_equal(got, direct)
 
 
+def _cache_racer(cache_dir, paths, lo, hi, q):
+    """Child-process body for the concurrent-creation test (module level:
+    must pickle under the spawn start method)."""
+    try:
+        import numpy as _np
+
+        from ganreverser_tpu.data.cache import DecodedCache
+        cache = DecodedCache(cache_dir, paths, 8, 8)
+        for i in range(lo, hi):
+            cache.put(i, _np.full((8, 8, 3), i / 32.0, _np.float32))
+        got = sum(cache.hit(i) for i in range(lo, hi))
+        q.put(("ok", got))
+    except BaseException as e:  # noqa: BLE001 — report to the parent
+        q.put(("err", repr(e)))
+
+
+def test_decode_cache_concurrent_creation(tmp_path):
+    """Two real processes construct the SAME DecodedCache simultaneously
+    (multi-process ranks share --decode_cache): the rename-based creation
+    must never truncate a slab the other process already mapped (worst
+    case is a spurious re-decode, never a crash or a garbage row)."""
+    import multiprocessing as mp
+    paths = [f"/fake/img_{i}.jpg" for i in range(32)]
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_cache_racer,
+                         args=(str(tmp_path / "c"), paths, lo, hi, q))
+             for lo, hi in ((0, 16), (16, 32))]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    assert all(tag == "ok" for tag, _ in results), results
+    # each writer saw its own rows present in ITS mapping
+    assert [n for _, n in results] == [16, 16]
+    # the surviving canonical slab serves whatever rows it has with the
+    # written values (losers' rows may be absent — that is the contract)
+    from ganreverser_tpu.data.cache import DecodedCache
+    cache = DecodedCache(str(tmp_path / "c"), paths, 8, 8)
+    for i in range(32):
+        if cache.hit(i):
+            np.testing.assert_allclose(cache.get(i)[0, 0, 0], i / 32.0,
+                                       atol=1 / 255)
+
+
 def test_decode_cache_warm_hits_and_quantization(tmp_path, rng):
     """Decoded-tensor disk cache (data/cache.py): a second epoch serves
     every row from the slab (fill_count pinned), warm loads match cold
