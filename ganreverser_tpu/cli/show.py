@@ -33,6 +33,56 @@ def _summary(tree, prefix="", depth=0, max_depth=3):
     return lines
 
 
+def _t7_module_summary(obj, depth=0, lines=None):
+    from ..io.torch7 import TorchObject, table_to_list
+    lines = [] if lines is None else lines
+    if not isinstance(obj, TorchObject):
+        return lines
+    pieces = []
+    w = obj.get("weight")
+    if hasattr(w, "shape"):
+        pieces.append(f"weight {tuple(w.shape)}")
+    if hasattr(obj.get("bias"), "shape"):
+        pieces.append(f"bias {tuple(obj['bias'].shape)}")
+    lines.append("  " * depth + f"  {obj.torch_class}"
+                 + (f" [{', '.join(pieces)}]" if pieces else ""))
+    if "modules" in obj:
+        for child in table_to_list(obj["modules"]):
+            _t7_module_summary(child, depth + 1, lines)
+    return lines
+
+
+def _show_t7(path: str):
+    """Inspect a reference Torch7 save file (show_model_content.lua's
+    input format) without converting it."""
+    from ..io import torch7
+    top = torch7.load(path)
+    print(f"== Torch7 file: {path}")
+    if not isinstance(top, dict):
+        print(f"-- top-level object: {top!r}")
+        return
+    for k in sorted(k for k in top if isinstance(k, str)):
+        v = top[k]
+        if hasattr(v, "torch_class") and "modules" in v:
+            print(f"-- {k}: {v.torch_class}")
+            for line in _t7_module_summary(v):
+                print(line)
+        elif hasattr(v, "shape"):
+            print(f"-- {k}: tensor {tuple(v.shape)} {v.dtype}")
+        elif isinstance(v, dict):
+            print(f"-- {k}: table with {len(v)} entries")
+            for kk in sorted(v, key=str):
+                vv = v[kk]
+                print(f"   {kk} = "
+                      + (f"<{type(vv).__name__}>"
+                         if isinstance(vv, (dict, list)) or
+                         hasattr(vv, "torch_class") else repr(vv)))
+        else:
+            print(f"-- {k} = {v!r}")
+    print("-- convert with: python -m ganreverser_tpu.cli.import_t7 "
+          f"{path} --out <dir>")
+
+
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     plot_to = None
@@ -45,8 +95,15 @@ def main(argv=None):
         plot_to = argv[i + 1] if has_path else "plot_data.png"
         del argv[i:i + 2 if has_path else i + 1]
     if not argv:
-        sys.exit("usage: show <checkpoint-dir> [--plot [out.png]]")
+        sys.exit("usage: show <checkpoint-dir | reference .net/.t7 file> "
+                 "[--plot [out.png]]")
     path = argv[0]
+    import os
+    if os.path.isfile(path):
+        # a reference Torch7 save file — show_model_content.lua:14 inspects
+        # these directly, so this CLI does too (read-only; convert with
+        # cli/import_t7 to actually use it)
+        return _show_t7(path)
     tree, config, extra = gio.load_checkpoint(path)
     print(f"== checkpoint: {path}")
     plot_data = extra.get("plot_data") if isinstance(extra, dict) else None

@@ -707,6 +707,24 @@ def test_imported_checkpoint_drives_sample_cli(tmp_path, g3_torch,
     assert any(out.iterdir()), "sample CLI wrote no artifacts"
 
 
+def test_show_cli_inspects_t7_file(tmp_path, g3_torch, capsys):
+    """show on a raw .net file prints its structure without converting —
+    show_model_content.lua:14's input format works directly."""
+    path = t7_file(tmp_path, "adversarial.net", {
+        "G": g3_torch["tree"],
+        "opt": {"noiseDim": 8, "height": 16},
+        "epoch": 9,
+    })
+    from ganreverser_tpu.cli import show
+    show.main([path])
+    out = capsys.readouterr().out
+    assert "Torch7 file" in out
+    assert "nn.Sequential" in out and "nn.Linear" in out
+    assert "epoch = 9" in out
+    assert "noiseDim = 8" in out
+    assert "import_t7" in out  # points at the converter
+
+
 def test_structural_mismatch_raises(g3_torch):
     R = M.create_R((3, 16, 16), 8, "normal")
     with pytest.raises(Exception, match="serialized|expected"):
