@@ -43,6 +43,9 @@ run ablate       3600 python benchmarks/train_ablate.py
 # 5a'. round-4: conv + training-mode BN-stats fusion probe (VERDICT r3
 #     item 5 — the one untried training kernel axis; keep or close)
 run convbn       2400 python benchmarks/convbn_probe.py
+# 5a''. round-4: eval-G per-stage breakdown (the fused e2e is G-bound;
+#      this says which stage holds the remaining milliseconds)
+run g_breakdown  1800 python benchmarks/g_breakdown.py
 # 5b. kernel tile sweeps (round-2 parity maintenance — keep, cheaper now)
 run up_stages    1800 python benchmarks/tpu_kernel_check.py upsample_stages
 run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages
