@@ -143,7 +143,8 @@ class Dataset:
         if self.cache_dir is not None and self._cache is None:
             from .cache import DecodedCache
             self._cache = DecodedCache(self.cache_dir, self.paths,
-                                       self.height, self.width)
+                                       self.height, self.width,
+                                       decode_draft=self.decode_draft)
         return self._cache
 
     def _decode_into(self, indices: Sequence[int]) -> np.ndarray:

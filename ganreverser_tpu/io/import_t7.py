@@ -9,8 +9,10 @@ The reference saves (all via ``torch.save``):
   * pretrain_g.lua:202   {G = decoder-only, opt, EPOCH}
 
 ``import_t7`` reads one such file (io/torch7.py), rebuilds the matching
-zoo model(s) from the embedded ``opt`` (or, for R files whose opt carries
-no geometry — train_r.lua:12-29 — from the module shapes themselves),
+zoo model(s) from the embedded ``opt`` (for R files train_r.lua:71-75
+copies noiseDim/noiseMethod/height/width/colorSpace from the G checkpoint
+into OPT before the save at :234, and ``fixer`` is a saved lapp flag —
+module-shape inference is only the fallback for hand-stripped opts),
 walks the serialized ``nn`` graph alongside our module tree, and converts
 every parameter:
 
@@ -310,33 +312,61 @@ def _scalarize(x):
     return x
 
 
-def _infer_r_geometry(r_mod: TorchObject) -> dict:
-    """R files carry no geometry in opt (train_r.lua:12-29) — read it off
-    the serialized modules: C from the first conv, H*W from the head
-    Linear, fixer from a leading Dropout, uniform from a Tanh tail
-    (models.lua:389-464)."""
+def _infer_r_geometry(r_mod: TorchObject, known: Optional[dict] = None) -> dict:
+    """Geometry of a serialized R. The saved opt is authoritative where
+    present — train_r.lua:71-75 copies noiseDim/noiseMethod/height/width
+    (and colorSpace) from the G checkpoint into OPT before the save at
+    train_r.lua:234, and ``fixer`` is a saved lapp flag (train_r.lua:28) —
+    so callers pass those as ``known`` and only the gaps are read off the
+    modules: C from the first conv, H*W from the head Linear fan-in, fixer
+    from a leading always-on Dropout, uniform from a Tanh tail
+    (models.lua:389-464).
+
+    GPU-trained files (the default: train_r.lua gpu=0 -> cuda=true) wrap
+    the net in nn.Copy at both ends (models.lua:393-395, 458-459;
+    prepareNetworkForSave never strips them) — those wrappers are dropped
+    before looking at the first/last modules, otherwise fixer/uniform
+    would silently misdetect as False/normal."""
+    known = {k: v for k, v in (known or {}).items() if v is not None}
     mods = table_to_list(r_mod.get("modules"))
-    first_conv = next(m for m in mods if isinstance(m, TorchObject)
-                      and m.torch_class in _CONV_TORCH)
+
+    def _cls(m):
+        return m.torch_class if isinstance(m, TorchObject) else ""
+
+    core = [m for m in mods if _cls(m) != "nn.Copy"]
+    first_conv = next(m for m in core if _cls(m) in _CONV_TORCH)
     c = int(first_conv["nInputPlane"])
-    linear = next(m for m in mods if isinstance(m, TorchObject)
-                  and m.torch_class == "nn.Linear")
-    last_linear = [m for m in mods if isinstance(m, TorchObject)
-                   and m.torch_class == "nn.Linear"][-1]
-    hw16 = int(linear["weight"].shape[1]) // 128  # 128 maps at (H/4, W/4)
-    side = int(round((hw16 * 16) ** 0.5))
-    if side * side != hw16 * 16:
+    linears = [m for m in core if _cls(m) == "nn.Linear"]
+    head, last = linears[0], linears[-1]
+    nd_file = int(last["weight"].shape[0])
+    if "noiseDim" in known and int(known["noiseDim"]) != nd_file:
         raise ImportError7(
-            f"cannot infer a square geometry from head fan-in "
-            f"{linear['weight'].shape[1]} — pass --height/--width")
-    fixer = (isinstance(mods[0], TorchObject)
-             and mods[0].torch_class == "nn.Dropout")
-    uniform = (isinstance(mods[-1], TorchObject)
-               and mods[-1].torch_class in ("nn.Tanh", "cudnn.Tanh"))
-    return {"channels": c, "height": side, "width": side,
-            "noiseDim": int(last_linear["weight"].shape[0]),
-            "noiseMethod": "uniform" if uniform else "normal",
-            "fixer": fixer}
+            f"saved opt.noiseDim={int(known['noiseDim'])} but the file's "
+            f"output Linear has {nd_file} units — corrupt checkpoint?")
+    geo = {"channels": c, "noiseDim": nd_file,
+           "noiseMethod": ("uniform" if _cls(core[-1]) in
+                           ("nn.Tanh", "cudnn.Tanh") else "normal"),
+           "fixer": _cls(core[0]) == "nn.Dropout"}
+    for k in ("noiseMethod", "fixer"):
+        if k in known:
+            geo[k] = known[k]
+    hw = (int(head["weight"].shape[1]) // 128) * 16  # 128 maps at (H/4, W/4)
+    if "height" in known and "width" in known:
+        geo["height"], geo["width"] = int(known["height"]), int(known["width"])
+    elif "height" in known:
+        geo["height"] = int(known["height"])
+        geo["width"] = hw // geo["height"]
+    elif "width" in known:
+        geo["width"] = int(known["width"])
+        geo["height"] = hw // geo["width"]
+    else:
+        side = int(round(hw ** 0.5))
+        if side * side != hw:
+            raise ImportError7(
+                f"cannot infer a square geometry from head fan-in "
+                f"{head['weight'].shape[1]} — pass --height/--width")
+        geo["height"] = geo["width"] = side
+    return geo
 
 
 def _fresh_ts(variables: dict, optimizer):
@@ -361,11 +391,13 @@ def import_t7(path: str, out_dir: str, *, height: Optional[int] = None,
     log = print if verbose else (lambda *a, **k: None)
 
     if "R" in top:  # train_r.lua:234 {R, opt}
-        geo = _infer_r_geometry(top["R"])
+        known = {k: cfgd.get(k) for k in ("height", "width", "noiseDim",
+                                          "noiseMethod", "fixer")}
         if height:
-            geo["height"] = height
+            known["height"] = height
         if width:
-            geo["width"] = width
+            known["width"] = width
+        geo = _infer_r_geometry(top["R"], known)
         cfg = RConfig.from_dict({**cfgd, **{
             k: geo[k] for k in ("height", "width", "noiseDim",
                                 "noiseMethod", "fixer")}})

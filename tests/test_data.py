@@ -332,3 +332,25 @@ def test_decode_cache_warm_hits_and_quantization(tmp_path, rng):
     assert other.load_images(0, 10).shape == (10, 8, 8, 3)
     assert other._cache.fill_count == 10
     assert other._cache._slab.shape == (10, 8, 8, 3)
+
+
+def test_decode_cache_key_includes_decode_mode(tmp_path, rng):
+    """A slab warmed by draft decodes must not serve --exact_decode loads
+    (draft pixels differ up to ~0.05 at >=2x originals): decode_draft is
+    part of the cache key, so exact and draft never share a slab."""
+    from PIL import Image
+    for i in range(4):
+        arr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.jpg")
+    cache_dir = str(tmp_path / "cache")
+    kw = dict(height=16, width=16, colorspace="rgb")
+    draft = D.Dataset([str(tmp_path)], cache_dir=cache_dir,
+                      decode_draft=True, **kw)
+    draft.load_images(0, 4)                      # warms the DRAFT slab
+    exact = D.Dataset([str(tmp_path)], cache_dir=cache_dir,
+                      decode_draft=False, **kw)
+    assert exact._get_cache().fill_count == 0    # cold: different key
+    ref = D.Dataset([str(tmp_path)], decode_draft=False, **kw)
+    np.testing.assert_allclose(exact.load_images(0, 4),
+                               ref.load_images(0, 4), atol=1 / 510 + 1e-7)
+    assert draft._cache._slab_path != exact._cache._slab_path

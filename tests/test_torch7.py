@@ -412,7 +412,7 @@ def test_d2_import_forward_parity(d2_torch):
 # R: flat conv stack + Flatten->Linear + geometry inference from the file
 # ---------------------------------------------------------------------------
 
-def _r_torch(noise_method="uniform", fixer=False):
+def _r_torch(noise_method="uniform", fixer=False, cuda=False):
     nd, c, h, w = 6, 3, 16, 16
     convs, bns = [], []
     cin = c
@@ -439,6 +439,8 @@ def _r_torch(noise_method="uniform", fixer=False):
         return torch.tanh(z) if noise_method == "uniform" else z
 
     mods = []
+    if cuda:  # models.lua:393-395 — GPU-trained files keep the wrapper
+        mods.append(_skip("nn.Copy"))
     if fixer:
         mods.append(_skip("nn.Dropout"))
     for i in range(6):
@@ -451,6 +453,8 @@ def _r_torch(noise_method="uniform", fixer=False):
              _skip("nn.ELU"), _skip("nn.Dropout"), t7_linear(out)]
     if noise_method == "uniform":
         mods.append(_skip("nn.Tanh"))
+    if cuda:  # models.lua:458-459
+        mods.append(_skip("nn.Copy"))
     return dict(nd=nd, dims=(c, h, w), forward=forward,
                 tree=t7_seq(mods), noise_method=noise_method)
 
@@ -484,6 +488,53 @@ def test_r_file_import_infers_geometry(tmp_path):
     assert cfg["noiseMethod"] == "uniform"
     assert not cfg["fixer"]
     assert "opt_state" in tree["R"]  # fresh moments, train_r --cont ready
+
+
+def test_r_gpu_file_infers_fixer_and_uniform_through_copy(tmp_path):
+    """GPU-trained R files (train_r.lua's default gpu=0 -> cuda=true)
+    serialize with nn.Copy at both ends (models.lua:393-395, 458-459);
+    fixer/uniform detection must look through them, and with a stripped
+    opt the inference path is all there is."""
+    r = _r_torch("uniform", fixer=True, cuda=True)
+    path = t7_file(tmp_path, "r_gpu.net",
+                   {"R": r["tree"], "opt": {"batchSize": 32, "seed": 1}})
+    ckpt = import_t7(path, str(tmp_path / "out"), verbose=False)
+    tree, cfg, _ = gio.load_checkpoint(ckpt)
+    assert cfg["fixer"] is True
+    assert cfg["noiseMethod"] == "uniform"
+    assert cfg["height"] == 16 and cfg["width"] == 16
+    assert "_fixer" in ckpt
+
+    # and the Copy-wrapped graph maps onto the fixer module tree cleanly
+    rv = map_module(M.create_R(r["dims"], r["nd"], "uniform", fixer=True),
+                    t7_decode(r["tree"]), (16, 16, 3), "R")
+    assert set(rv["params"]) == set(tree["R"]["params"])
+
+
+def test_r_file_saved_opt_is_authoritative(tmp_path):
+    """train_r.lua:71-75 copies geometry into OPT before the save at :234
+    and fixer is a saved lapp flag — prefer those over module inference
+    (covers non-square geometry, which inference alone cannot resolve)."""
+    r = _r_torch("normal", fixer=False, cuda=True)
+    path = t7_file(tmp_path, "r_opt.net",
+                   {"R": r["tree"],
+                    "opt": {"height": 16, "width": 16, "noiseDim": r["nd"],
+                            "noiseMethod": "normal", "fixer": False,
+                            "colorSpace": "rgb", "batchSize": 32,
+                            "seed": 1}})
+    ckpt = import_t7(path, str(tmp_path / "out"), verbose=False)
+    _, cfg, _ = gio.load_checkpoint(ckpt)
+    assert cfg["height"] == 16 and cfg["width"] == 16
+    assert cfg["noiseMethod"] == "normal" and cfg["fixer"] is False
+
+
+def test_r_file_opt_noisedim_mismatch_raises(tmp_path):
+    from ganreverser_tpu.io.import_t7 import ImportError7
+    r = _r_torch("normal")
+    path = t7_file(tmp_path, "r_bad.net",
+                   {"R": r["tree"], "opt": {"noiseDim": r["nd"] + 1}})
+    with pytest.raises(ImportError7, match="noiseDim"):
+        import_t7(path, str(tmp_path / "out"), verbose=False)
 
 
 # ---------------------------------------------------------------------------
