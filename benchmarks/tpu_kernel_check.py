@@ -343,9 +343,41 @@ def check_approx_topk(n=10240, d=100, k=100):
           note=f"measured recall={rec:.4f}")
 
 
+def check_recall_guard(n=10240, d=100, k=100, floor=0.95, margin=0.02):
+    """REGRESSION GATE (VERDICT r4 item 5): measure approx_max_k recall
+    against the exact top-k on the flagship all-N shape and FAIL (raise ->
+    rc!=0 in tpu_session.sh) below ``floor - margin``. On CPU approx_max_k
+    falls back to an exact sort (recall 1.0 by construction — the CPU test
+    in test_analysis.py pins only the plumbing); run on the real chip this
+    re-pins the hardware recall figure every session instead of leaving it
+    in one round-3 log. Reference contract: apply_r.lua:275 rankings are
+    exact, so the opt-in --approx mode ships with a measured floor."""
+    from ganreverser_tpu.analysis.e2e import topk_all
+
+    emb = jax.random.normal(jax.random.PRNGKey(11), (n, d), jnp.float32)
+
+    @jax.jit
+    def rec(x):
+        ia = topk_all(x, k, 256, True, floor)[1]
+        ib = topk_all(x, k, 256)[1]
+        hit = (ia[:, :, None] == ib[:, None, :]).any(1)
+        return jnp.mean(hit.astype(jnp.float32))
+
+    r = float(jax.device_get(rec(emb)))
+    backend = jax.default_backend()
+    print(f"[recall_guard] backend={backend} shape={n}x{n} D{d} k{k} "
+          f"recall_target={floor} measured_recall={r:.4f} "
+          f"floor={floor - margin}")
+    assert r >= floor - margin, (
+        f"approx_max_k recall {r:.4f} < {floor - margin} on {backend} — "
+        "the --approx mode no longer meets its documented floor")
+    print("[recall_guard] PASS")
+
+
 CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
           "pixel_topk": check_pixel_topk,
           "approx_topk": check_approx_topk,
+          "recall_guard": check_recall_guard,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
           "conv_block_stages": check_conv_block_stages,

@@ -5,7 +5,7 @@
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p benchmarks/logs
-TAG=${1:-r04}
+TAG=${1:-r05}
 
 run() { # run <tag> <timeout_s> <cmd...>
   local tag=$1 to=$2; shift 2
@@ -28,6 +28,9 @@ run matrix       7200 python benchmarks/matrix.py
 run pixel_topk   1800 python benchmarks/tpu_kernel_check.py pixel_topk
 # 4b. TPU-native approximate k-selection vs exact (time + measured recall)
 run approx_topk  1800 python benchmarks/tpu_kernel_check.py approx_topk
+# 4c. round-5: REGRESSION GATE — approx recall re-pinned every session
+#     (fails rc!=0 below recall_target - margin; VERDICT r4 item 5)
+run recall_guard 1200 python benchmarks/tpu_kernel_check.py recall_guard
 # 5. training-step roofline (item 3) — one section per process: a wedged
 #    remote compile (observed live: scan program hung 30+ min at 0% CPU)
 #    then burns one small timeout instead of the whole phase
@@ -73,4 +76,23 @@ run e2e_apply_ax 2400 python -m ganreverser_tpu.cli.apply_r \
   --writeto "$E2E/apply_ax" --N 2048 --clusters 4 --kmeans_iters 5 \
   --needles 2 --anomalies_n 256 --batchSize 256 \
   --approx --recall_target 0.95 --compute_dtype bfloat16
+# round-5: the Torch7 drop-in path ON DEVICE (VERDICT r4 item 6):
+# reference-layout .net files (GPU nn.Copy wrappers, full saved opt) ->
+# import_t7 -> sample + apply_r on the IMPORTED checkpoints, real chip.
+T7=/tmp/tpu_session_t7; rm -rf "$T7"
+run t7_make      600  python benchmarks/make_t7_fixture.py "$T7" \
+  --height 32 --width 32 --nd 32
+run t7_import_g  600  python -m ganreverser_tpu.cli.import_t7 \
+  "$T7/adversarial.net" --out "$T7/logs"
+run t7_import_r  600  python -m ganreverser_tpu.cli.import_t7 \
+  "$T7/r_3x32x32_nd32_normal.net" --out "$T7/logs"
+run t7_import_rf 600  python -m ganreverser_tpu.cli.import_t7 \
+  "$T7/r_3x32x32_nd32_normal_fixer.net" --out "$T7/logs"
+run t7_sample    1800 python -m ganreverser_tpu.cli.sample \
+  --network "$T7/logs/adversarial" --writeto "$T7/samples" \
+  --dataset synthetic
+run t7_apply     2400 python -m ganreverser_tpu.cli.apply_r \
+  --G "$T7/logs/adversarial" --save "$T7/logs" --writeto "$T7/apply" \
+  --N 1024 --clusters 4 --kmeans_iters 5 --needles 2 \
+  --anomalies_n 256 --batchSize 256
 echo done

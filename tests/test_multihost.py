@@ -102,6 +102,31 @@ def test_two_process_tp_train_and_save(tmp_path):
     assert big.shape == (8, 512 * 2 * 2)
 
 
+def test_two_process_distributed_fused_e2e():
+    """The north-star distributed fused e2e program across a REAL process
+    boundary (VERDICT r4 item 7): the embedding all-gather and the
+    ppermute pixel ring run between two jax.distributed processes; each
+    rank asserts its shard matches the single-device fused program."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(port), "e2e"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for pid in range(2)]
+    outs = _communicate_all(procs, 600)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    digests = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_E2E_OK"):
+                _, pid, val = line.split()
+                digests[int(pid)] = float(val)
+    assert set(digests) == {0, 1}, outs
+
+
 def test_two_process_dp_step():
     port = _free_port()
     env = dict(os.environ)

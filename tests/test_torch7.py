@@ -276,9 +276,10 @@ def test_cuda_classes_read_as_float():
 # G3: Linear->BN1d->View(C,H,W) permutation + conv stack
 # ---------------------------------------------------------------------------
 
-@pytest.fixture(scope="module")
-def g3_torch():
-    nd, c, h, w = 8, 3, 16, 16
+def build_g3(nd=8, c=3, h=16, w=16, cuda=False):
+    """A reference-layout serialized G3 (models.lua:104-143) with a live
+    PyTorch forward — geometry-parameterized so benchmarks/
+    make_t7_fixture.py can emit drop-in .net files at any size."""
     sh, sw = h // 4, w // 4
     lin = torch.nn.Linear(nd, 512 * sh * sw)
     bn0 = _rand_bn(512 * sh * sw, spatial=False)
@@ -298,7 +299,7 @@ def g3_torch():
         x = F.relu(_bn_f(c2(x), bn2))
         return torch.sigmoid(c3(x))
 
-    tree = t7_seq([
+    mods = [
         t7_linear(lin), t7_bn(bn0, False), _skip("cudnn.ReLU"),
         _skip("nn.View"),
         _skip("nn.SpatialUpSamplingNearest"), t7_conv(c1),
@@ -306,8 +307,15 @@ def g3_torch():
         _skip("nn.SpatialUpSamplingNearest"), t7_conv(c2),
         t7_bn(bn2, True), _skip("cudnn.ReLU"),
         t7_conv(c3), _skip("nn.Sigmoid"),
-    ])
-    return dict(nd=nd, dims=(c, h, w), forward=forward, tree=tree)
+    ]
+    if cuda:  # models.lua:107-108, 135-136
+        mods = [_skip("nn.Copy")] + mods + [_skip("nn.Copy")]
+    return dict(nd=nd, dims=(c, h, w), forward=forward, tree=t7_seq(mods))
+
+
+@pytest.fixture(scope="module")
+def g3_torch():
+    return build_g3()
 
 
 def test_g3_import_forward_parity(g3_torch):
@@ -328,9 +336,9 @@ def test_g3_import_forward_parity(g3_torch):
 # D2: nested Sequentials, nn.Concat branches, Flatten->Linear permutation
 # ---------------------------------------------------------------------------
 
-@pytest.fixture(scope="module")
-def d2_torch():
-    c, h, w = 3, 16, 16
+def build_d2(c=3, h=16, w=16, cuda=False):
+    """A reference-layout serialized D2 (models.lua:272-337) with a live
+    PyTorch forward — geometry-parameterized (h, w divisible by 8)."""
 
     def nxn(cin, cout, k, dropout):
         conv = torch.nn.Conv2d(cin, cout, k, padding=(k - 1) // 2)
@@ -384,13 +392,20 @@ def d2_torch():
     right = t7_seq([rs1, _skip("nn.SpatialMaxPooling"), rs2, rs3,
                     _skip("nn.SpatialMaxPooling"), _skip("nn.View"),
                     t7_linear(rlin), t7_prelu(rpre)])
-    tree = t7_seq([
+    mods = [
         s1, s2, _skip("nn.SpatialMaxPooling"),
         T7Obj("nn.Concat", modules=[left, right]),
         t7_linear(top1), t7_prelu(tpre), _skip("nn.Dropout"),
         t7_linear(top2), _skip("nn.Sigmoid"),
-    ])
-    return dict(dims=(c, h, w), forward=forward, tree=tree)
+    ]
+    if cuda:  # models.lua:284-285, 329-330
+        mods = [_skip("nn.Copy")] + mods + [_skip("nn.Copy")]
+    return dict(dims=(c, h, w), forward=forward, tree=t7_seq(mods))
+
+
+@pytest.fixture(scope="module")
+def d2_torch():
+    return build_d2()
 
 
 def test_d2_import_forward_parity(d2_torch):
@@ -412,8 +427,8 @@ def test_d2_import_forward_parity(d2_torch):
 # R: flat conv stack + Flatten->Linear + geometry inference from the file
 # ---------------------------------------------------------------------------
 
-def _r_torch(noise_method="uniform", fixer=False, cuda=False):
-    nd, c, h, w = 6, 3, 16, 16
+def _r_torch(noise_method="uniform", fixer=False, cuda=False,
+             nd=6, c=3, h=16, w=16):
     convs, bns = [], []
     cin = c
     for feat in (64, 64, 64, 128, 128, 128):
