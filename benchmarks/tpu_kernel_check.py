@@ -343,6 +343,59 @@ def check_approx_topk(n=10240, d=100, k=100):
           note=f"measured recall={rec:.4f}")
 
 
+def check_s3_packed(n=256, h=64, w=64, ci=128, co=3):
+    """G's s3 stage (conv3x3 128->3 + sigmoid, models.lua:132-133): the
+    lane-packed strided reformulation (ops/pack_conv.py) vs the plain XLA
+    conv, at the flagship shape, plus the WHOLE fast G with/without
+    pack_out — only the end-to-end number decides adoption (CLAUDE.md:
+    production defaults follow measured e2e, not per-op wins)."""
+    from ganreverser_tpu.models.fastpath import make_fast_generator_xla
+    from ganreverser_tpu.ops.pack_conv import conv3x3_packed
+
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (n, h, w, ci)).astype(dt)
+    kern = (jax.random.normal(jax.random.fold_in(key, 1),
+                              (3, 3, ci, co)) * 0.1).astype(jnp.float32)
+    bias = jnp.zeros((co,), jnp.float32)
+
+    def naive(xx):
+        y = jax.lax.conv_general_dilated(
+            xx, kern.astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jax.nn.sigmoid(y + bias).astype(dt)
+
+    f_naive = jax.jit(naive)
+    _force(f_naive(x))
+    t_naive = _time_best(f_naive, x)
+    for pack in ((1, 8), (2, 8), (4, 8), (8, 8)):
+        f_pack = jax.jit(lambda xx, p=pack: conv3x3_packed(
+            xx, kern, bias, p, "sigmoid", dt))
+        err = _max_err_device(f_pack, f_naive, x)
+        t_pack = _time_best(f_pack, x)
+        _emit(f"s3_packed_{pack[0]}x{pack[1]}", f"b{n} {h}x{w} {ci}->{co}",
+              t_pack, t_naive, err, tol=2e-2)
+
+    # whole-G A/B (the adoption criterion)
+    from ganreverser_tpu import models as M
+    dims = (co, h, w)
+    nd = 100
+    G = M.create_G(dims, nd, dtype=dt)
+    gv, _ = G.init(jax.random.fold_in(key, 2), (nd,))
+    z = jax.random.normal(jax.random.fold_in(key, 3), (n, nd), jnp.float32)
+    base = make_fast_generator_xla(dims, nd, dtype=dt)
+    _force(base(gv, z))
+    t_base = _time_best(base, gv, z)
+    for pack in ((2, 8), (4, 8), (8, 8)):
+        gen = make_fast_generator_xla(dims, nd, dtype=dt, pack_out=pack)
+        err = _max_err_device(lambda v: gen(v, z), lambda v: base(v, z), gv)
+        t = _time_best(gen, gv, z)
+        _emit(f"fastG_pack{pack[0]}x{pack[1]}", f"b{n} {h}x{w} nd{nd}",
+              t, t_base, err, tol=2e-2,
+              note=f"img/s packed={round(n / t)} base={round(n / t_base)}")
+
+
 def check_recall_guard(n=10240, d=100, k=100, floor=0.95, margin=0.02):
     """REGRESSION GATE (VERDICT r4 item 5): measure approx_max_k recall
     against the exact top-k on the flagship all-N shape and FAIL (raise ->
@@ -378,6 +431,7 @@ CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
           "pixel_topk": check_pixel_topk,
           "approx_topk": check_approx_topk,
           "recall_guard": check_recall_guard,
+          "s3_packed": check_s3_packed,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
           "conv_block_stages": check_conv_block_stages,

@@ -49,6 +49,9 @@ run convbn       2400 python benchmarks/convbn_probe.py
 # 5a''. round-4: eval-G per-stage breakdown (the fused e2e is G-bound;
 #      this says which stage holds the remaining milliseconds)
 run g_breakdown  1800 python benchmarks/g_breakdown.py
+# 5a'''. round-5: the s3 lane-packed candidate (ops/pack_conv.py) — per-op
+#      sweep + whole-G A/B; adopt pack_out only on a measured e2e win
+run s3_packed    1800 python benchmarks/tpu_kernel_check.py s3_packed
 # 5b. kernel tile sweeps (round-2 parity maintenance — keep, cheaper now)
 run up_stages    1800 python benchmarks/tpu_kernel_check.py upsample_stages
 run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages

@@ -87,13 +87,19 @@ def make_fast_generator(dims: Dims, noise_dim: int,
 
 
 def make_fast_generator_xla(dims: Dims, noise_dim: int,
-                            dtype: Any = jnp.bfloat16):
+                            dtype: Any = jnp.bfloat16,
+                            pack_out: Any = None):
     """Pure-XLA fast G: BN folded at trace time + the lhs-dilated
     upsample+conv formulation (ops/upsample_conv.py::upsample2_conv3x3_dilated,
     2.25x fewer effective taps than the naive repeat+conv, no Mosaic).
 
     Same contract as make_fast_generator: consumes the standard create_G3
     pytree, equivalent to ``apply(variables, z, train=False)``.
+
+    ``pack_out``: optional (ph, pw) — compute the final Co=C conv +
+    sigmoid lane-packed (ops/pack_conv.py). A measurement candidate for
+    the G s3 stage (benchmarks/tpu_kernel_check.py s3_packed); None keeps
+    the measured XLA default.
     """
     from ..ops.upsample_conv import upsample2_conv3x3_dilated
     c, h, w = dims
@@ -118,6 +124,10 @@ def make_fast_generator_xla(dims: Dims, noise_dim: int,
                                           dtype)
             x = jnp.maximum(x, 0.0).astype(dtype)
 
+        if pack_out is not None:
+            from ..ops.pack_conv import conv3x3_packed
+            return conv3x3_packed(x, p["l12"]["kernel"], p["l12"]["bias"],
+                                  tuple(pack_out), "sigmoid", dtype)
         y = lax.conv_general_dilated(
             x, p["l12"]["kernel"].astype(dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

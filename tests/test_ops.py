@@ -41,6 +41,43 @@ def test_upsample_conv_dilated_exact(key, h, w, ci, co):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("h,w,ci,co,pack,act", [
+    (8, 8, 8, 3, (2, 4), "sigmoid"),
+    (16, 16, 16, 3, (4, 8), "sigmoid"),
+    (16, 8, 8, 1, (8, 8), None),
+    (8, 16, 5, 4, (2, 2), "relu"),
+])
+def test_conv3x3_packed_exact(key, h, w, ci, co, pack, act):
+    """Lane-packed small-Co conv (ops/pack_conv.py — the G s3 candidate):
+    the strided block-kernel formulation == SAME conv3x3 + bias (+act),
+    exactly (same taps, reassociated only across the block kernel's
+    zero-padding)."""
+    from ganreverser_tpu.ops.pack_conv import conv3x3_packed
+    from ganreverser_tpu.ops.precision import conv_f32acc
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, h, w, ci))
+    kernel = jax.random.normal(k2, (3, 3, ci, co)) * 0.2
+    bias = jax.random.normal(k3, (co,))
+    ref = conv_f32acc(x, kernel, (1, 1), "SAME", None,
+                      ("NHWC", "HWIO", "NHWC")) + bias
+    if act == "sigmoid":
+        ref = jax.nn.sigmoid(ref)
+    elif act == "relu":
+        ref = jnp.maximum(ref, 0.0)
+    out = conv3x3_packed(x, kernel, bias, pack, act)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_packed_rejects_bad_geometry(key):
+    from ganreverser_tpu.ops.pack_conv import conv3x3_packed
+    x = jax.random.normal(key, (1, 6, 6, 4))
+    kernel = jnp.zeros((3, 3, 4, 3))
+    with pytest.raises(ValueError, match="divisible"):
+        conv3x3_packed(x, kernel, jnp.zeros(3), (4, 4))
+
+
 @pytest.mark.parametrize("h,w,ci,co,act", [(4, 4, 3, 5, "relu"),
                                            (8, 8, 8, 16, "relu"),
                                            (8, 6, 7, 4, "none"),
