@@ -22,6 +22,14 @@ run bench        2400 python bench.py
 #    chip (its delta vs the plain fused program = collective-wrapping
 #    overhead, the evidence behind the x8 pod projection)
 run bench_full   3600 python bench.py --full --mesh_data 1
+# 2'. DECISION-CRITICAL round-4/5 legs run BEFORE the 2h matrix so a short
+#     tunnel window still answers the open axes (VERDICT r4 items 2-4):
+#     r_step dropout ablation -> default decision; G stage attribution ->
+#     s3 candidate A/B; conv+BN d-step probe -> keep or close.
+run ablate       3600 python benchmarks/train_ablate.py
+run g_breakdown  1800 python benchmarks/g_breakdown.py
+run s3_packed    1800 python benchmarks/tpu_kernel_check.py s3_packed
+run convbn       2400 python benchmarks/convbn_probe.py
 # 3. the six-config matrix (training rates, inversion pipeline, refinement)
 run matrix       7200 python benchmarks/matrix.py
 # 4. round-3: wide-D pixel-similarity selection shot (VERDICT r2 item 8)
@@ -39,19 +47,8 @@ run roofline_g   1500 python benchmarks/roofline.py g
 run roofline_dg  1500 python benchmarks/roofline.py dg
 run roofline_r   1500 python benchmarks/roofline.py r
 run roofline_f32 2400 python benchmarks/roofline.py --f32 dg
-# 5a. round-4: per-ingredient r_step ablation incl. the in-kernel
-#     counter-hash dropout (--dropout kernel ship/no-ship decision,
-#     VERDICT r3 item 3) and the rbg comparison
-run ablate       3600 python benchmarks/train_ablate.py
-# 5a'. round-4: conv + training-mode BN-stats fusion probe (VERDICT r3
-#     item 5 — the one untried training kernel axis; keep or close)
-run convbn       2400 python benchmarks/convbn_probe.py
-# 5a''. round-4: eval-G per-stage breakdown (the fused e2e is G-bound;
-#      this says which stage holds the remaining milliseconds)
-run g_breakdown  1800 python benchmarks/g_breakdown.py
-# 5a'''. round-5: the s3 lane-packed candidate (ops/pack_conv.py) — per-op
-#      sweep + whole-G A/B; adopt pack_out only on a measured e2e win
-run s3_packed    1800 python benchmarks/tpu_kernel_check.py s3_packed
+# 5a. (ablate/convbn/g_breakdown/s3_packed moved up to 2' — decision-
+#     critical legs run before the matrix)
 # 5b. kernel tile sweeps (round-2 parity maintenance — keep, cheaper now)
 run up_stages    1800 python benchmarks/tpu_kernel_check.py upsample_stages
 run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages
