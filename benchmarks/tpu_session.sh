@@ -95,4 +95,8 @@ run t7_apply     2400 python -m ganreverser_tpu.cli.apply_r \
   --G "$T7/logs/adversarial" --save "$T7/logs" --writeto "$T7/apply" \
   --N 1024 --clusters 4 --kmeans_iters 5 --needles 2 \
   --anomalies_n 256 --batchSize 256
+# digest every leg (JSON metrics + rc ledger) into one markdown summary —
+# host-side only, cheap; this is the artifact RESULTS.md sections start from
+python benchmarks/summarize_session.py "$TAG" \
+  > "benchmarks/logs/tpu_${TAG}_digest.md" 2>&1
 echo done
