@@ -279,6 +279,23 @@ def main(argv=None):
                   f"{n_images / t_ef:,.0f} img/s ({t_ef*1e3:.1f} ms vs "
                   f"best-legs serial {serial_best*1e3:.1f} ms — {vf})",
                   file=sys.stderr)
+            # s3 candidate: same fused program, fast-XLA G decoder with
+            # the lane-packed output conv (ops/pack_conv.py) — adoption
+            # evidence for the pack_out default (tpu_kernel_check
+            # s3_packed is the per-op sweep; this is the e2e criterion)
+            try:
+                fastgen_pack = make_fast_generator_xla(
+                    dims, nd, dtype=jnp.bfloat16, pack_out=(4, 8))
+                e2e_pack = make_e2e_program(
+                    G, R, batch_size=batch, k=100,
+                    g_apply=lambda gv, zc: fastgen_pack(gv, zc))
+                t_efp = _time_best(e2e_pack, g_vars, r_vars, z)
+                print(f"[bench] end-to-end (fused, fast-XLA G + packed-out "
+                      f"s3 4x8): {n_images / t_efp:,.0f} img/s "
+                      f"({t_efp*1e3:.1f} ms)", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — candidate, not headline
+                print(f"[bench] packed-out e2e failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
             # serving-scale variant: TPU-native approximate k-selection on
             # the search leg (measured recall 0.986 at rt=0.95 on this
             # shape — benchmarks/tpu_kernel_check.py approx_topk)

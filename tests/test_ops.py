@@ -294,6 +294,23 @@ def test_fast_generator_xla_matches_G_f32(key):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fast_generator_xla_pack_out_parity(key):
+    """Whole-G parity for the lane-packed s3 candidate: fastpath with
+    pack_out=(ph, pw) (ops/pack_conv.py on the final Co=C conv+sigmoid,
+    models.lua:132-133) == the default fastpath, f32 tight. The bench
+    e2e packed-out leg (bench.py --full) rides exactly this path."""
+    from ganreverser_tpu.models.fastpath import make_fast_generator_xla
+    dims, nd = (3, 32, 32), 8
+    G = M.create_G(dims, nd)
+    variables, _ = G.init(key, (nd,))
+    z = jax.random.normal(jax.random.fold_in(key, 1), (4, nd))
+    ref = make_fast_generator_xla(dims, nd, dtype=jnp.float32)(variables, z)
+    out = make_fast_generator_xla(
+        dims, nd, dtype=jnp.float32, pack_out=(4, 8))(variables, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("pool", [False, True])
 def test_conv_block_kernel_parity(key, pool):
     """Pallas fused conv-chain (3x conv3x3+BN(eval)+ELU [+maxpool]) vs the
