@@ -2,15 +2,40 @@
 # One-shot TPU measurement session — run the moment the axon tunnel is up.
 # Everything sequential (1-core host: NEVER two TPU processes at once).
 # Outputs land in benchmarks/logs/tpu_*.log; summarize into RESULTS.md after.
+#
+# RESUMABLE: re-running with the same tag skips every leg already rc=0, so
+# a mid-session tunnel wedge (it has died mid-session in 3 of 4 rounds)
+# costs only the unfinished legs. probe_or_exit aborts with rc=3 the
+# moment a tiny matmul probe wedges, instead of burning every remaining
+# leg's timeout — the watcher (/tmp/tpu_watch_run.sh) then re-probes and
+# re-invokes this script with the SAME tag when the tunnel returns.
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p benchmarks/logs
 TAG=${1:-r05}
+STATUS="benchmarks/logs/tpu_${TAG}_status.log"
+
+ok() { grep -q "rc=0 tag=${1}\$" "$STATUS" 2>/dev/null; }
 
 run() { # run <tag> <timeout_s> <cmd...>
   local tag=$1 to=$2; shift 2
+  if ok "$tag"; then echo "skip tag=${tag} (already ok)"; return 0; fi
   timeout "$to" "$@" > "benchmarks/logs/tpu_${TAG}_${tag}.log" 2>&1
-  echo "rc=$? tag=${tag}" | tee -a "benchmarks/logs/tpu_${TAG}_status.log"
+  echo "rc=$? tag=${tag}" | tee -a "$STATUS"
+}
+
+probe_or_exit() { # cheap health gate between phases (150s-boxed matmul)
+  if timeout 150 python -c "
+import jax, jax.numpy as jnp
+jax.devices()
+x = jnp.ones((128, 128), jnp.bfloat16)
+print('OK', float((x @ x).sum()))
+" 2>&1 | grep -q '^OK'; then return 0; fi
+  echo "WEDGED at $(date -u +%H:%M:%S) — aborting (resume: same tag)" \
+    | tee -a "$STATUS"
+  python benchmarks/summarize_session.py "$TAG" \
+    > "benchmarks/logs/tpu_${TAG}_digest.md" 2>&1
+  exit 3
 }
 
 # 0. is Mosaic healthy on this tunnel? (separates infra from kernel bugs)
@@ -26,11 +51,13 @@ run bench_full   3600 python bench.py --full --mesh_data 1
 #     tunnel window still answers the open axes (VERDICT r4 items 2-4):
 #     r_step dropout ablation -> default decision; G stage attribution ->
 #     s3 candidate A/B; conv+BN d-step probe -> keep or close.
+probe_or_exit
 run ablate       3600 python benchmarks/train_ablate.py
 run g_breakdown  1800 python benchmarks/g_breakdown.py
 run s3_packed    1800 python benchmarks/tpu_kernel_check.py s3_packed
 run convbn       2400 python benchmarks/convbn_probe.py
 # 3. the six-config matrix (training rates, inversion pipeline, refinement)
+probe_or_exit
 run matrix       7200 python benchmarks/matrix.py
 # 4. round-3: wide-D pixel-similarity selection shot (VERDICT r2 item 8)
 run pixel_topk   1800 python benchmarks/tpu_kernel_check.py pixel_topk
@@ -42,6 +69,7 @@ run recall_guard 1200 python benchmarks/tpu_kernel_check.py recall_guard
 # 5. training-step roofline (item 3) — one section per process: a wedged
 #    remote compile (observed live: scan program hung 30+ min at 0% CPU)
 #    then burns one small timeout instead of the whole phase
+probe_or_exit
 run roofline_d   1500 python benchmarks/roofline.py d
 run roofline_g   1500 python benchmarks/roofline.py g
 run roofline_dg  1500 python benchmarks/roofline.py dg
@@ -55,7 +83,10 @@ run cb_stages    1800 python benchmarks/tpu_kernel_check.py conv_block_stages
 # 5. production pipeline ON HARDWARE at the flagship geometry (bf16):
 #    round 2 proved this catches bugs CPU interpret tests cannot (the
 #    pixel-similarity VMEM blowout) — keep it in every session
-E2E=/tmp/tpu_session_e2e; rm -rf "$E2E"
+probe_or_exit
+# keep artifacts across resumes: later legs consume earlier legs' outputs,
+# so only clear when the producing leg itself is about to re-run
+E2E=/tmp/tpu_session_e2e; ok e2e_train || rm -rf "$E2E"
 run e2e_train    1800 python -m ganreverser_tpu.cli.train \
   --dataset synthetic --save "$E2E/logs" --epochs 2 --N_epoch 5 \
   --batchSize 32 --noiseDim 100 --saveFreq 1 --colorSpace rgb \
@@ -79,7 +110,8 @@ run e2e_apply_ax 2400 python -m ganreverser_tpu.cli.apply_r \
 # round-5: the Torch7 drop-in path ON DEVICE (VERDICT r4 item 6):
 # reference-layout .net files (GPU nn.Copy wrappers, full saved opt) ->
 # import_t7 -> sample + apply_r on the IMPORTED checkpoints, real chip.
-T7=/tmp/tpu_session_t7; rm -rf "$T7"
+probe_or_exit
+T7=/tmp/tpu_session_t7; ok t7_make || rm -rf "$T7"
 run t7_make      600  python benchmarks/make_t7_fixture.py "$T7" \
   --height 32 --width 32 --nd 32
 run t7_import_g  600  python -m ganreverser_tpu.cli.import_t7 \
