@@ -41,6 +41,7 @@ def _square_grid(images_rgb: np.ndarray):
 def main(argv=None):
     common.configure_platform()
     cfg = ApplyConfig.from_args(argv, "inversion/analysis suite (apply_r.lua)")
+    common.ensure_backend_alive(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
     os.makedirs(cfg.writeto, exist_ok=True)

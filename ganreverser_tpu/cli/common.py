@@ -28,6 +28,49 @@ def configure_platform():
         jax.config.update("jax_platforms", plat)
 
 
+BACKEND_PROBE_TIMEOUT_S = 180
+
+
+def ensure_backend_alive(cfg=None, timeout_s: int = BACKEND_PROBE_TIMEOUT_S):
+    """Fail fast when the accelerator plugin is wedged, instead of hanging.
+
+    Three observed tunnel failure modes (bench.py::_resolve_backend): init
+    raises, init blocks forever inside the plugin's C++ client, or init
+    succeeds and the FIRST DEVICE OP blocks forever. An in-process guard
+    cannot catch the blocking modes (signal handlers only run between
+    Python bytecodes), so the probe is a killable subprocess running a
+    real matmul. Unlike bench (which degrades to CPU and labels the
+    output honestly), production CLIs EXIT with an actionable message —
+    silently training on a 1-core host is a worse surprise than failing.
+
+    Skipped when the platform is explicitly pinned (GANREVERSER_PLATFORM),
+    when GANREVERSER_SKIP_PROBE=1, or in a multi-process run (the
+    coordinator handshake has its own timeout and ranks must not race
+    subprocess probes against it).
+    """
+    if (os.environ.get("GANREVERSER_PLATFORM")
+            or os.environ.get("GANREVERSER_SKIP_PROBE") == "1"
+            or (cfg is not None and getattr(cfg, "coordinator_address", ""))):
+        return
+    import subprocess
+    cmd = ("import jax, jax.numpy as jnp; jax.devices(); "
+           "x = jnp.ones((128, 128), jnp.bfloat16); "
+           "print('OK', float((x @ x).sum()))")
+    try:
+        probe = subprocess.run([sys.executable, "-c", cmd],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        if probe.returncode == 0 and probe.stdout.strip().startswith("OK"):
+            return
+        reason = f"probe rc={probe.returncode}: {probe.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        reason = f"first device op wedged > {timeout_s}s (probe killed)"
+    sys.exit(f"<trainer> accelerator backend is unusable ({reason}).\n"
+             "  - retry later (tunnel wedges are usually transient), or\n"
+             "  - run on the host CPU: GANREVERSER_PLATFORM=cpu, or\n"
+             "  - skip this check: GANREVERSER_SKIP_PROBE=1")
+
+
 def maybe_distributed(cfg) -> bool:
     """Join the multi-process runtime when --coordinator_address is set
     (must run before any device use; parallel/multihost.py)."""

@@ -26,6 +26,7 @@ def main(argv=None):
     common.configure_platform()
     cfg = PretrainGConfig.from_args(argv, "autoencoder G pretraining "
                                           "(pretrain_g.lua)")
+    common.ensure_backend_alive(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
     dataset = common.make_dataset(cfg)

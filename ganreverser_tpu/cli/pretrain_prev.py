@@ -43,6 +43,7 @@ def main(argv=None):
     cfg = PretrainPrevConfig.from_args(
         argv, "net2net distillation pretraining "
               "(pretrain_with_previous_net.lua)")
+    common.ensure_backend_alive(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
     dataset = common.make_dataset(cfg)

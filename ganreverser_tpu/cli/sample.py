@@ -33,6 +33,7 @@ from . import common
 def main(argv=None):
     common.configure_platform()
     cfg = SampleConfig.from_args(argv, "offline sampling (sample.lua)")
+    common.ensure_backend_alive(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed)
     os.makedirs(cfg.writeto, exist_ok=True)

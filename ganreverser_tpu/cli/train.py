@@ -56,6 +56,7 @@ def visualize_progress(writer: MetricsWriter, gen, rate, gs, vis_noise, cfg,
 def main(argv=None):
     common.configure_platform()
     cfg = GanConfig.from_args(argv, "adversarial G/D training (train.lua)")
+    common.ensure_backend_alive(cfg)
     common.maybe_distributed(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed, getattr(cfg, "prng", "threefry"))

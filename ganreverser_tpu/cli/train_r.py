@@ -30,6 +30,7 @@ from . import common
 def main(argv=None):
     common.configure_platform()
     cfg = RConfig.from_args(argv, "Reverser training (train_r.lua)")
+    common.ensure_backend_alive(cfg)
     common.maybe_distributed(cfg)
     dtype = common.compute_dtype(cfg)
     key = seed_key(cfg.seed, getattr(cfg, "prng", "threefry"))

@@ -9,6 +9,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Pin the env var too: CLI mains invoked in-process consult it
+# (configure_platform) and skip the wedge-probe subprocess
+# (ensure_backend_alive) when the platform is explicitly chosen.
+os.environ["GANREVERSER_PLATFORM"] = "cpu"
+
 import jax  # noqa: E402  (import after env setup)
 
 # The session presets JAX_PLATFORMS=axon and the plugin wins over the env
