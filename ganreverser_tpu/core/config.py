@@ -138,7 +138,7 @@ class RConfig(Config):
     cont: str = _f("", "R checkpoint to continue from (--continue upstream)")
     dataset: str = _f("NONE", "directory with *.jpg images (configured but unused for batches; R trains on (G(z), z) pairs, train_r.lua:138-139)")
     fixer: bool = _f(False, "train the error fixer (always-on input dropout)")
-    prng: str = _f("threefry", "PRNG impl for the root key: threefry (deterministic across backends) | rbg (XLA-native, measured 1.5x faster R training steps on v5e — benchmarks/train_ablate.py)")
+    prng: str = _f("rbg", "PRNG impl for the root key: rbg (default — XLA-native, measured 1.5x faster R training steps on v5e: seven dropout layers' threefry masks cost 13.4 of 40.2 ms, benchmarks/train_ablate.py r3) | threefry (stable streams across backends/XLA versions; use for cross-version reproducibility). R trains on (G(z), z) pairs, so the stream choice changes WHICH random pairs/masks are drawn, never the model family; the reference's torch streams were never reproducible here either way")
     dropout: str = _f("threefry", "dropout-mask source for R's seven dropout layers: threefry (default) | kernel (in-kernel counter-hash masks, ops/dropout_kernel.py — no mask tensor in HBM, deterministic across backends/XLA versions; a different stream than threefry; single-device only — falls back to threefry under --mesh_*/multi-process)")
     async_save: bool = _f(False, "overlap checkpoint file IO with the next segment's device work (device snapshot stays synchronous; errors surface at the next save)")
     # inherited from the G checkpoint at load time (train_r.lua:71-75):

@@ -20,8 +20,10 @@ def seed_key(seed: int, impl: str = "threefry") -> jax.Array:
     threefry mask generation costs the R training step 13.4 ms of 40.2
     (seven dropout layers, ~270M mask elements); rbg runs the same step
     in 26.8 ms — 1.50x. Trade-off: rbg streams are not guaranteed stable
-    across backends/XLA versions, hence opt-in (``--prng rbg`` on the
-    training CLIs)."""
+    across backends/XLA versions. Defaults follow the measurements:
+    train_r defaults to rbg (dropout-mask-bound — the 1.50x win);
+    train keeps threefry (d/g steps measured RNG-insensitive,
+    benchmarks/train_ablate.py) — ``--prng`` overrides either way."""
     # impl is ALWAYS pinned explicitly: bare PRNGKey(seed) follows the
     # jax_default_prng_impl config, so a JAX_DEFAULT_PRNG_IMPL=rbg in the
     # environment would silently defeat '--prng threefry' determinism

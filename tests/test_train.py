@@ -189,3 +189,15 @@ def test_prng_rbg_root_key_trains():
                                  noise_method="normal")
     r_ts, loss = r_step(gv, r_ts, jax.random.fold_in(key, 3))
     assert np.isfinite(float(loss))
+
+
+def test_prng_defaults_follow_measurements():
+    """Default PRNG impls are a MEASURED decision (train_ablate.py r3,
+    RESULTS.md): train_r defaults to rbg (threefry dropout masks cost
+    13.4 of 40.2 ms — 1.50x), train keeps threefry (d/g steps are
+    RNG-insensitive). --prng overrides both; this pins the decision so a
+    refactor can't silently reinstate the 21.7%-MFU default."""
+    from ganreverser_tpu.core.config import GanConfig, RConfig
+
+    assert RConfig().prng == "rbg"
+    assert GanConfig().prng == "threefry"
