@@ -396,6 +396,43 @@ def check_s3_packed(n=256, h=64, w=64, ci=128, co=3):
               note=f"img/s packed={round(n / t)} base={round(n / t_base)}")
 
 
+def check_co64_packed(n=256, h=64, w=64, ci=64, co=64):
+    """R's Co=64 backbone convs (models.lua:409-423; 378 of ~703 MMAC/img
+    at 64x64) fill only half the MXU lanes. A/B the (1,2)/(2,2) lane-packed
+    reformulation (ops/pack_conv.py — Co'=128 at a 12/9 tap overhead; 75%
+    slot utilization vs 50%) against the plain XLA conv at the flagship
+    shape, eval epilogue (folded BN -> bias + ELU). Per-op signal only: a
+    win here motivates building the packed-layout CHAIN (pack once,
+    convolve the 64-channel stack packed, unpack once) — the per-conv
+    unpack transpose in this sweep is the pessimistic bound."""
+    from ganreverser_tpu.ops.pack_conv import conv3x3_packed
+
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(6)
+    x = jax.random.normal(key, (n, h, w, ci)).astype(dt)
+    kern = (jax.random.normal(jax.random.fold_in(key, 1),
+                              (3, 3, ci, co)) * 0.1).astype(jnp.float32)
+    bias = jnp.zeros((co,), jnp.float32)
+
+    def naive(xx):
+        y = jax.lax.conv_general_dilated(
+            xx, kern.astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jax.nn.elu(y + bias).astype(dt)
+
+    f_naive = jax.jit(naive)
+    _force(f_naive(x))
+    t_naive = _time_best(f_naive, x)
+    for pack in ((1, 2), (2, 2), (1, 4)):
+        f_pack = jax.jit(lambda xx, p=pack: conv3x3_packed(
+            xx, kern, bias, p, "elu", dt))
+        err = _max_err_device(f_pack, f_naive, x)
+        t_pack = _time_best(f_pack, x)
+        _emit(f"co64_packed_{pack[0]}x{pack[1]}",
+              f"b{n} {h}x{w} {ci}->{co}", t_pack, t_naive, err, tol=2e-2)
+
+
 def check_recall_guard(n=10240, d=100, k=100, floor=0.95, margin=0.02):
     """REGRESSION GATE (VERDICT r4 item 5): measure approx_max_k recall
     against the exact top-k on the flagship all-N shape and FAIL (raise ->
@@ -432,6 +469,7 @@ CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
           "approx_topk": check_approx_topk,
           "recall_guard": check_recall_guard,
           "s3_packed": check_s3_packed,
+          "co64_packed": check_co64_packed,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
           "conv_block_stages": check_conv_block_stages,

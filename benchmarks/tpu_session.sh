@@ -55,6 +55,7 @@ probe_or_exit
 run ablate       3600 python benchmarks/train_ablate.py
 run g_breakdown  1800 python benchmarks/g_breakdown.py
 run s3_packed    1800 python benchmarks/tpu_kernel_check.py s3_packed
+run co64_packed  1800 python benchmarks/tpu_kernel_check.py co64_packed
 run convbn       2400 python benchmarks/convbn_probe.py
 # 3. the six-config matrix (training rates, inversion pipeline, refinement)
 probe_or_exit

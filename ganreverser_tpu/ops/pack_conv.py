@@ -28,6 +28,15 @@ survives XLA's actual small-channel conv emitter is a MEASUREMENT
 (benchmarks/tpu_kernel_check.py s3_packed); this op ships as an opt-in
 candidate until the hardware numbers pick a default.
 
+The same reformulation applies to any Co < 128: R's backbone has three
+Co=64 conv3x3 blocks (models.lua:409-423 — 378 of R's ~703 MMAC/img at
+64x64) that fill only half the MXU lanes; pack (1, 2) makes Co' = 128
+at a 12/9 tap overhead (75% slot utilization vs 50%) — A/B leg:
+benchmarks/tpu_kernel_check.py co64_packed. Here too the unpack
+transpose is per-conv; a measured per-op win would motivate a
+packed-layout CHAIN (pack once, convolve the whole 64-channel stack in
+packed layout, unpack once) before any production flip.
+
 Exact equivalence to conv3x3(SAME)+bias (+activation) is pinned in
 tests/test_ops.py.
 """
@@ -80,6 +89,8 @@ def conv3x3_packed(x: jax.Array, kernel: jax.Array, bias: jax.Array,
         y = jax.nn.sigmoid(y)
     elif act == "relu":
         y = jnp.maximum(y, 0.0)
+    elif act == "elu":
+        y = jax.nn.elu(y)
     elif act is not None:
         raise ValueError(act)
     y = y.astype(dtype).reshape(n, h // ph, w // pw, ph, pw, co)

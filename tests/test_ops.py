@@ -46,6 +46,9 @@ def test_upsample_conv_dilated_exact(key, h, w, ci, co):
     (16, 16, 16, 3, (4, 8), "sigmoid"),
     (16, 8, 8, 1, (8, 8), None),
     (8, 16, 5, 4, (2, 2), "relu"),
+    # R's Co=64 backbone shape (models.lua:409-423) at test scale — the
+    # co64_packed A/B leg (tpu_kernel_check) rides this path with ELU
+    (8, 8, 16, 8, (1, 2), "elu"),
 ])
 def test_conv3x3_packed_exact(key, h, w, ci, co, pack, act):
     """Lane-packed small-Co conv (ops/pack_conv.py — the G s3 candidate):
@@ -64,6 +67,8 @@ def test_conv3x3_packed_exact(key, h, w, ci, co, pack, act):
         ref = jax.nn.sigmoid(ref)
     elif act == "relu":
         ref = jnp.maximum(ref, 0.0)
+    elif act == "elu":
+        ref = jax.nn.elu(ref)
     out = conv3x3_packed(x, kernel, bias, pack, act)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
