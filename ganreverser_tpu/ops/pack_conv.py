@@ -30,12 +30,22 @@ candidate until the hardware numbers pick a default.
 
 The same reformulation applies to any Co < 128: R's backbone has three
 Co=64 conv3x3 blocks (models.lua:409-423 — 378 of R's ~703 MMAC/img at
-64x64) that fill only half the MXU lanes; pack (1, 2) makes Co' = 128
-at a 12/9 tap overhead (75% slot utilization vs 50%) — A/B leg:
-benchmarks/tpu_kernel_check.py co64_packed. Here too the unpack
-transpose is per-conv; a measured per-op win would motivate a
-packed-layout CHAIN (pack once, convolve the whole 64-channel stack in
-packed layout, unpack once) before any production flip.
+64x64) that fill only half the MXU lanes — A/B leg:
+benchmarks/tpu_kernel_check.py co64_packed. Contraction-pass math for
+the (1,2) pack at Ci=Co=64 (128-deep MXU contraction, 128 lanes):
+  naive  : H*W positions x ceil(9*64/128)=5 passes, half the lanes idle
+  packed : H*W/2 positions x ceil(12*64/128)=6 passes, lanes full
+           -> 0.6x the naive pass count, but pays a 2*H*W*64 relayout
+           per conv (the unpack transpose — HBM-bound, same order as
+           the conv itself at these shapes)
+  packed-to-packed (a chain keeping the layout, window (3,3) over
+  packed cols, Ci'=Co'=128): only 6 of 12 (tap, j_in, j_out) combos are
+  nonzero, so the sparsity moves INTO the contraction -> 9 passes at
+  half density = 0.9x naive. Chain bonus: maxpool(2) with pw=2 consumes
+  the packing for free (the j blocks ARE the width pool pair).
+Neither dominates on paper once XLA's own Co=64 emitter (measured 64%
+of peak whole-R) is the baseline — hence measurement first, chain only
+on a per-op win that survives the transpose.
 
 Exact equivalence to conv3x3(SAME)+bias (+activation) is pinned in
 tests/test_ops.py.
