@@ -433,6 +433,87 @@ def check_co64_packed(n=256, h=64, w=64, ci=64, co=64):
               f"b{n} {h}x{w} {ci}->{co}", t_pack, t_naive, err, tol=2e-2)
 
 
+def check_int8_r(n=1024, h=64, w=64, c=3, nd=100, k=64, needles=16):
+    """int8 weight+activation R eval (models/fastpath.make_fast_inverter_int8,
+    ops/quant.py) vs the measured-winner bf16 module path, at the headline
+    shape (apply_r.lua:143-153). v5e's MXU does int8 at 2x the bf16 MAC
+    rate — whether XLA routes int8 convs onto it is exactly what this leg
+    answers. Emits throughput A/B plus the reference-visible quality
+    metric: top-k cosine-ranking recall of the int8 latents against the
+    bf16 latents (apply_r.lua:275 — rankings are the contract). Adoption
+    rule: opt-in flag only, and only on BOTH a >=1.3x throughput win AND
+    recall >= 0.95 here."""
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.models.fastpath import make_fast_inverter_int8
+
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(7)
+    dims = (c, h, w)
+    R = M.create_R(dims, nd, "normal", dtype=dt)
+    rv, _ = R.init(key, (h, w, c))
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (n, h, w, c),
+                           jnp.float32).astype(dt)
+
+    mod = jax.jit(lambda v, xx: R.apply(v, xx, train=False)[0])
+    f8 = make_fast_inverter_int8(dims, nd, "normal", dtype=dt)
+    _force(mod(rv, x))
+    _force(f8(rv, x))
+    t_mod = _time_best(mod, rv, x)
+    t_int8 = _time_best(f8, rv, x)
+
+    @jax.jit
+    def recall(v, xx):
+        def ranks(z):
+            z = z.astype(jnp.float32)
+            zn = z / jnp.linalg.norm(z, axis=1, keepdims=True)
+            return jax.lax.top_k(zn[:needles] @ zn.T, k)[1]
+        ia, ib = ranks(f8(v, xx)), ranks(mod(v, xx))
+        hit = (ia[:, :, None] == ib[:, None, :]).any(-1)
+        return jnp.mean(hit.astype(jnp.float32))
+
+    rec = float(jax.device_get(recall(rv, x)))
+    _emit("int8_r", f"b{n} {h}x{w} nd{nd}", t_int8, t_mod, 0.0,
+          note=(f"img/s int8={round(n / t_int8)} bf16={round(n / t_mod)} "
+                f"topk_recall@{k}={rec:.4f}"))
+
+
+def check_int8_g(n=256, h=64, w=64, c=3, nd=100):
+    """int8 G (make_fast_generator_xla_int8 — the lhs-dilated winner
+    formulation with int8 operands) vs the bf16 fastpath at the flagship
+    shape. e2e is G-bound (G 53-54k vs R 72-74k img/s), so an int8 G win
+    moves the fused-e2e headline directly. Quality metric: mean/max abs
+    pixel error of the sigmoid outputs (reported, not asserted — this is
+    an approximation whose adoption is opt-in on a measured win)."""
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.models.fastpath import (make_fast_generator_xla,
+                                                 make_fast_generator_xla_int8)
+
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(8)
+    dims = (c, h, w)
+    G = M.create_G(dims, nd, dtype=dt)
+    gv, _ = G.init(key, (nd,))
+    z = jax.random.normal(jax.random.fold_in(key, 1), (n, nd), jnp.float32)
+
+    base = make_fast_generator_xla(dims, nd, dtype=dt)
+    g8 = make_fast_generator_xla_int8(dims, nd, dtype=dt)
+    _force(base(gv, z))
+    _force(g8(gv, z))
+    t_base = _time_best(base, gv, z)
+    t_int8 = _time_best(g8, gv, z)
+
+    @jax.jit
+    def errs(v, zz):
+        d = jnp.abs(g8(v, zz).astype(jnp.float32)
+                    - base(v, zz).astype(jnp.float32))
+        return jnp.mean(d), jnp.max(d)
+
+    me, mx = (float(v) for v in jax.device_get(errs(gv, z)))
+    _emit("int8_g", f"b{n} {h}x{w} nd{nd}", t_int8, t_base, mx,
+          note=(f"img/s int8={round(n / t_int8)} bf16={round(n / t_base)} "
+                f"mean_abs_err={me:.4f}"))
+
+
 def check_recall_guard(n=10240, d=100, k=100, floor=0.95, margin=0.02):
     """REGRESSION GATE (VERDICT r4 item 5): measure approx_max_k recall
     against the exact top-k on the flagship all-N shape and FAIL (raise ->
@@ -470,6 +551,7 @@ CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
           "recall_guard": check_recall_guard,
           "s3_packed": check_s3_packed,
           "co64_packed": check_co64_packed,
+          "int8_r": check_int8_r, "int8_g": check_int8_g,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
           "conv_block_stages": check_conv_block_stages,

@@ -56,6 +56,11 @@ run ablate       3600 python benchmarks/train_ablate.py
 run g_breakdown  1800 python benchmarks/g_breakdown.py
 run s3_packed    1800 python benchmarks/tpu_kernel_check.py s3_packed
 run co64_packed  1800 python benchmarks/tpu_kernel_check.py co64_packed
+# round-5: int8 weight+activation eval paths (ops/quant.py) — v5e MXU
+# does int8 at 2x bf16; these legs answer whether XLA routes int8 convs
+# onto it, with the ranking-recall quality gate in the same record
+run int8_r       1800 python benchmarks/tpu_kernel_check.py int8_r
+run int8_g       1800 python benchmarks/tpu_kernel_check.py int8_g
 run convbn       2400 python benchmarks/convbn_probe.py
 # 3. the six-config matrix (training rates, inversion pipeline, refinement)
 probe_or_exit

@@ -194,3 +194,117 @@ def make_fast_inverter(dims: Dims, noise_dim: int, noise_method: str,
         return z.astype(dtype)
 
     return invert
+
+
+def make_fast_inverter_int8(dims: Dims, noise_dim: int, noise_method: str,
+                            dtype: Any = jnp.bfloat16):
+    """int8 weight+activation R eval path (ops/quant.py) — the serving
+    candidate for the headline R-inversion workload (apply_r.lua:143-153).
+
+    Same contract as make_fast_inverter (plain non-fixer R, standard
+    create_R_default pytree), but every conv/dense runs int8 x int8 ->
+    int32 on folded-BN weights, structured as the MEASURED-winner XLA
+    conv pipeline (per-layer convs, not the conv_block kernel — see
+    RESULTS.md: the fused chain lost to XLA at these shapes). Output is
+    an approximation of the bf16 path; adoption is gated on the on-device
+    top-k ranking recall + throughput A/B (tpu_kernel_check int8_r).
+    """
+    assert noise_method in ("normal", "uniform"), noise_method
+    from ..ops.quant import (fold_quantize_conv, fold_quantize_dense,
+                             quant_act, quant_conv3x3_same, quant_dense)
+
+    neg_inf = -jnp.inf
+
+    @jax.jit
+    def invert(variables, images):
+        p, s = variables["params"], variables["state"]
+
+        def foldq(conv, bn):
+            sc, sh = fold_batchnorm(p[bn], s[bn], p[conv]["bias"])
+            return fold_quantize_conv(p[conv]["kernel"], sc, sh)
+
+        x = images.astype(jnp.float32)
+        # two blocks of 3x [conv + BN + ELU] + maxpool2 (models.lua:409-440;
+        # the Dropout layers are identity in eval)
+        for layers in ((("l0", "l1"), ("l4", "l5"), ("l8", "l9")),
+                       (("l13", "l14"), ("l17", "l18"), ("l21", "l22"))):
+            for conv, bn in layers:
+                wq, ws, b = foldq(conv, bn)
+                xq, xs = quant_act(x)
+                x = jax.nn.elu(quant_conv3x3_same(xq, xs, wq, ws, b))
+            x = lax.reduce_window(x, neg_inf, lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+        # head: Dense(+BN folded)+ELU -> Dense (models.lua:446-451)
+        x = x.reshape(x.shape[0], -1)
+        scd, shd = fold_batchnorm(p["l28"], s["l28"], p["l27"]["bias"])
+        wq, ws, b = fold_quantize_dense(p["l27"]["kernel"], scd, shd)
+        xq, xs = quant_act(x)
+        y = jax.nn.elu(quant_dense(xq, xs, wq, ws, b))
+        wq2, ws2, b2 = fold_quantize_dense(
+            p["l31"]["kernel"], jnp.ones((), jnp.float32), p["l31"]["bias"])
+        yq, ys = quant_act(y)
+        z = quant_dense(yq, ys, wq2, ws2, b2)
+        if noise_method != "normal":
+            z = jnp.tanh(z)  # models.lua:452-454
+        return z.astype(dtype)
+
+    return invert
+
+
+def make_fast_generator_xla_int8(dims: Dims, noise_dim: int,
+                                 dtype: Any = jnp.bfloat16):
+    """int8 variant of make_fast_generator_xla: the measured-winner
+    lhs-dilated upsample+conv formulation with int8 operands (zero
+    insertion stays exact — symmetric quantization maps 0.0 to 0).
+    e2e is G-bound (G 53-54k vs R 72-74k img/s), so this is the e2e-side
+    int8 candidate; gated on tpu_kernel_check int8_g like int8_r.
+    """
+    from ..ops.quant import (fold_quantize_dense, quant_act, quant_dense,
+                             quantize_symmetric)
+    c, h, w = dims
+    sh_, sw_ = h // 4, w // 4
+    # (4,3) tap-aggregation map of upsample2_conv3x3_dilated
+    A = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 1.0, 0.0],
+                     [0.0, 1.0, 1.0], [0.0, 0.0, 1.0]], jnp.float32)
+
+    @jax.jit
+    def generate(variables, z):
+        p, s = variables["params"], variables["state"]
+
+        # s0: Dense + folded BN + ReLU (models.lua:115-117)
+        scale0, shift0 = fold_batchnorm(p["l1"], s["l1"], p["l0"]["bias"])
+        wq0, ws0, b0 = fold_quantize_dense(p["l0"]["kernel"], scale0, shift0)
+        zq, zs = quant_act(z.astype(jnp.float32))
+        y = jnp.maximum(quant_dense(zq, zs, wq0, ws0, b0), 0.0)
+        x = y.reshape(z.shape[0], sh_, sw_, 512)
+
+        # s1/s2: lhs-dilated upsample+conv (ops/upsample_conv.py) in int8
+        for conv, bn in (("l5", "l6"), ("l9", "l10")):
+            scale, shift = fold_batchnorm(p[bn], s[bn], p[conv]["bias"])
+            wf = (p[conv]["kernel"].astype(jnp.float32)
+                  * scale[None, None, None, :])
+            w4 = jnp.einsum("ay,yxio->axio", A, wf)
+            w4 = jnp.einsum("bx,axio->abio", A, w4)
+            wq, ws = quantize_symmetric(w4, axis=(0, 1, 2))
+            xq, xs = quant_act(x)
+            yi = lax.conv_general_dilated(
+                xq, wq, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            x = jnp.maximum(
+                yi.astype(jnp.float32) * (xs * ws).reshape(1, 1, 1, -1)
+                + shift.astype(jnp.float32), 0.0)
+
+        # s3: final Co=C conv + sigmoid (models.lua:132-133) in int8
+        wq3, ws3 = quantize_symmetric(p["l12"]["kernel"], axis=(0, 1, 2))
+        xq, xs = quant_act(x)
+        yi = lax.conv_general_dilated(
+            xq, wq3, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = (yi.astype(jnp.float32) * (xs * ws3).reshape(1, 1, 1, -1)
+             + p["l12"]["bias"].astype(jnp.float32))
+        return jax.nn.sigmoid(y).astype(dtype)
+
+    return generate
