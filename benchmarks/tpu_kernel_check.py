@@ -514,6 +514,56 @@ def check_int8_g(n=256, h=64, w=64, c=3, nd=100):
                 f"mean_abs_err={me:.4f}"))
 
 
+def check_e2e_int8(n=4096, h=64, w=64, c=3, nd=100, k=64, batch=128):
+    """The ADOPTION criterion for int8 (CLAUDE.md: production defaults
+    follow measured e2e): the whole fused generate->invert->top-k program
+    (analysis/e2e.py, the 26.7k img/s headline) with int8 G + int8 R legs
+    vs the current best (fast-XLA bf16 G + module bf16 R). Also measures
+    the END-TO-END ranking recall of the int8 program's top-k indices
+    against the bf16 program's — the reference-visible contract
+    (apply_r.lua:265-318) on the composed pipeline, where G and R quant
+    errors interact."""
+    from ganreverser_tpu import models as M
+    from ganreverser_tpu.analysis.e2e import make_e2e_program
+    from ganreverser_tpu.models.fastpath import (make_fast_generator_xla,
+                                                 make_fast_generator_xla_int8,
+                                                 make_fast_inverter_int8)
+
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(9)
+    dims = (c, h, w)
+    G = M.create_G(dims, nd, dtype=dt)
+    R = M.create_R(dims, nd, "normal", dtype=dt)
+    gv, _ = G.init(key, (nd,))
+    rv, _ = R.init(jax.random.fold_in(key, 1), (h, w, c))
+    z = jax.random.normal(jax.random.fold_in(key, 2), (n, nd), jnp.float32)
+
+    fg = make_fast_generator_xla(dims, nd, dtype=dt)
+    base = make_e2e_program(G, R, batch_size=batch, k=k,
+                            g_apply=lambda g, zc: fg(g, zc))
+    g8 = make_fast_generator_xla_int8(dims, nd, dtype=dt)
+    r8 = make_fast_inverter_int8(dims, nd, "normal", dtype=dt)
+    prog8 = make_e2e_program(G, R, batch_size=batch, k=k,
+                             g_apply=lambda g, zc: g8(g, zc),
+                             r_apply=lambda r, im: r8(r, im))
+    _force(base(gv, rv, z))
+    _force(prog8(gv, rv, z))
+    t_base = _time_best(base, gv, rv, z)
+    t_int8 = _time_best(prog8, gv, rv, z)
+
+    @jax.jit
+    def recall(g, r, zz):
+        ia = prog8(g, r, zz)[2]
+        ib = base(g, r, zz)[2]
+        hit = (ia[:, :, None] == ib[:, None, :]).any(-1)
+        return jnp.mean(hit.astype(jnp.float32))
+
+    rec = float(jax.device_get(recall(gv, rv, z)))
+    _emit("e2e_int8", f"N{n} b{batch} {h}x{w} nd{nd}", t_int8, t_base, 0.0,
+          note=(f"img/s int8={round(n / t_int8)} bf16={round(n / t_base)} "
+                f"e2e_topk_recall@{k}={rec:.4f}"))
+
+
 def check_recall_guard(n=10240, d=100, k=100, floor=0.95, margin=0.02):
     """REGRESSION GATE (VERDICT r4 item 5): measure approx_max_k recall
     against the exact top-k on the flagship all-N shape and FAIL (raise ->
@@ -552,6 +602,7 @@ CHECKS = {"upsample": check_upsample, "conv_block": check_conv_block,
           "s3_packed": check_s3_packed,
           "co64_packed": check_co64_packed,
           "int8_r": check_int8_r, "int8_g": check_int8_g,
+          "e2e_int8": check_e2e_int8,
           "conv3x3": check_conv3x3, "upsample_xla": check_upsample_xla,
           "upsample_stages": check_upsample_stages,
           "conv_block_stages": check_conv_block_stages,

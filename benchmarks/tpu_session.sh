@@ -61,6 +61,7 @@ run co64_packed  1800 python benchmarks/tpu_kernel_check.py co64_packed
 # onto it, with the ranking-recall quality gate in the same record
 run int8_r       1800 python benchmarks/tpu_kernel_check.py int8_r
 run int8_g       1800 python benchmarks/tpu_kernel_check.py int8_g
+run e2e_int8     2400 python benchmarks/tpu_kernel_check.py e2e_int8
 run convbn       2400 python benchmarks/convbn_probe.py
 # 3. the six-config matrix (training rates, inversion pipeline, refinement)
 probe_or_exit

@@ -89,7 +89,8 @@ def topk_all(embeddings: jax.Array, k: int,
                                recall_target)
 
 
-def _g_then_r_fn(G: Module, R: Module, g_apply, pixels: bool):
+def _g_then_r_fn(G: Module, R: Module, g_apply, pixels: bool,
+                 r_apply=None):
     """The per-chunk fused leg: z chunk -> R embedding (and optionally the
     normalized flat pixels for the pixel-cosine measure)."""
 
@@ -98,7 +99,10 @@ def _g_then_r_fn(G: Module, R: Module, g_apply, pixels: bool):
             imgs, _ = G.apply(g_variables, zc, train=False)
         else:
             imgs = g_apply(g_variables, zc)
-        emb, _ = R.apply(r_variables, imgs, train=False)
+        if r_apply is None:
+            emb, _ = R.apply(r_variables, imgs, train=False)
+        else:
+            emb = r_apply(r_variables, imgs)
         if pixels:
             flat = imgs.reshape(imgs.shape[0], -1)
             return emb, normalize_rows(flat)
@@ -109,7 +113,7 @@ def _g_then_r_fn(G: Module, R: Module, g_apply, pixels: bool):
 
 def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
                      k: int = 100, needle_chunk: int = 256,
-                     g_apply=None, approx: bool = False,
+                     g_apply=None, r_apply=None, approx: bool = False,
                      recall_target: float = 0.95, pixel_k: int = 0):
     """One jitted ``(g_vars, r_vars, z) -> (emb, topk_vals, topk_idx)``.
 
@@ -131,8 +135,12 @@ def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
     return ``(emb, v, i, pixel_v, pixel_i)``. Costs one (N, H*W*C) f32
     HBM tensor of normalized pixels (the only full-N image-scale tensor
     in the program) plus the wide-D search matmuls.
+
+    ``r_apply``: optional ``(r_variables, images) -> embeddings`` override
+    for the inverter leg — e.g. models/fastpath.py's int8 inverter, which
+    reads the same checkpoint pytree.
     """
-    g_then_r = _g_then_r_fn(G, R, g_apply, pixel_k > 0)
+    g_then_r = _g_then_r_fn(G, R, g_apply, pixel_k > 0, r_apply)
 
     @jax.jit
     def run(g_variables, r_variables, z):

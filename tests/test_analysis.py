@@ -216,7 +216,8 @@ def test_e2e_program_g_apply_override(key):
     base = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=8)
     over = A.make_e2e_program(
         G, R, batch_size=8, k=4, needle_chunk=8,
-        g_apply=lambda g, zc: G.apply(g, zc, train=False)[0])
+        g_apply=lambda g, zc: G.apply(g, zc, train=False)[0],
+        r_apply=lambda r, im: R.apply(r, im, train=False)[0])
     for a, b in zip(base(gv, rv, z), over(gv, rv, z)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
