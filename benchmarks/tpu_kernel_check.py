@@ -536,6 +536,12 @@ def check_e2e_int8(n=4096, h=64, w=64, c=3, nd=100, k=64, batch=128):
     R = M.create_R(dims, nd, "normal", dtype=dt)
     gv, _ = G.init(key, (nd,))
     rv, _ = R.init(jax.random.fold_in(key, 1), (h, w, c))
+    # Amplify G: at random init the sigmoid outputs are near-constant
+    # across z, so ALL pairwise cosine scores tie (measured top-k spread
+    # 6e-8 on CPU) and the recall metric degenerates to noise — which
+    # would wrongly veto adoption. 4x weights give trained-like image
+    # diversity; the emitted topk_spread makes degeneracy self-diagnosing.
+    gv = jax.tree.map(lambda a: a * 4.0, gv)
     z = jax.random.normal(jax.random.fold_in(key, 2), (n, nd), jnp.float32)
 
     fg = make_fast_generator_xla(dims, nd, dtype=dt)
@@ -554,14 +560,17 @@ def check_e2e_int8(n=4096, h=64, w=64, c=3, nd=100, k=64, batch=128):
     @jax.jit
     def recall(g, r, zz):
         ia = prog8(g, r, zz)[2]
-        ib = base(g, r, zz)[2]
+        vb, ib = base(g, r, zz)[1:3]
         hit = (ia[:, :, None] == ib[:, None, :]).any(-1)
-        return jnp.mean(hit.astype(jnp.float32))
+        # mean top-1..top-k score spread of the EXACT program: if this is
+        # ~float-eps the rankings are ties and recall is meaningless
+        spread = jnp.mean(vb[:, 0] - vb[:, -1])
+        return jnp.mean(hit.astype(jnp.float32)), spread
 
-    rec = float(jax.device_get(recall(gv, rv, z)))
+    rec, spread = (float(v) for v in jax.device_get(recall(gv, rv, z)))
     _emit("e2e_int8", f"N{n} b{batch} {h}x{w} nd{nd}", t_int8, t_base, 0.0,
           note=(f"img/s int8={round(n / t_int8)} bf16={round(n / t_base)} "
-                f"e2e_topk_recall@{k}={rec:.4f}"))
+                f"e2e_topk_recall@{k}={rec:.4f} topk_spread={spread:.2e}"))
 
 
 def check_recall_guard(n=10240, d=100, k=100, floor=0.95, margin=0.02):

@@ -149,3 +149,48 @@ def test_fast_generator_xla_int8_tracks_f32(key):
     diff = np.abs(np.asarray(out) - np.asarray(ref))
     assert diff.mean() < 0.02 and diff.max() < 0.15, (diff.mean(),
                                                       diff.max())
+
+
+def test_e2e_program_int8_composition(key):
+    """The COMPOSED serving candidate (tpu_kernel_check e2e_int8's CPU
+    mechanics): make_e2e_program with the int8 G and int8 R legs via the
+    g_apply/r_apply overrides.  On a tiny random model the int8 program
+    must return the right shapes, finite values, and a top-k index set
+    that substantially overlaps the f32 program's — the reference-visible
+    ranking contract (apply_r.lua:265-318) on the composed pipeline,
+    where G and R quantization errors interact."""
+    from ganreverser_tpu.analysis.e2e import make_e2e_program
+    from ganreverser_tpu.models.fastpath import (make_fast_generator_xla,
+                                                 make_fast_generator_xla_int8,
+                                                 make_fast_inverter_int8)
+    dims, nd, n, k = (3, 8, 8), 6, 64, 8
+    G = M.create_G(dims, nd, dtype=jnp.float32)
+    R = M.create_R(dims, nd, "normal", dtype=jnp.float32)
+    gv, _ = G.init(key, (nd,))
+    rv, _ = R.init(jax.random.fold_in(key, 1), (8, 8, 3))
+    # Amplify G: at random init sigmoid outputs are near-constant across z,
+    # so ALL pairwise cosine scores tie (measured top-k spread 6e-8) and
+    # rankings among ties are float noise — recall would be meaningless.
+    # 4x weights give img std ~0.32 across the batch and real score gaps.
+    gv = jax.tree.map(lambda a: a * 4.0, gv)
+    z = jax.random.normal(jax.random.fold_in(key, 2), (n, nd))
+
+    fg = make_fast_generator_xla(dims, nd, dtype=jnp.float32)
+    base = make_e2e_program(G, R, batch_size=16, k=k, needle_chunk=16,
+                            g_apply=lambda g, zc: fg(g, zc))
+    g8 = make_fast_generator_xla_int8(dims, nd, dtype=jnp.float32)
+    r8 = make_fast_inverter_int8(dims, nd, "normal", dtype=jnp.float32)
+    prog8 = make_e2e_program(G, R, batch_size=16, k=k, needle_chunk=16,
+                             g_apply=lambda g, zc: g8(g, zc),
+                             r_apply=lambda r, im: r8(r, im))
+
+    emb8, v8, i8 = prog8(gv, rv, z)
+    emb, v, i = base(gv, rv, z)
+    assert emb8.shape == (n, nd) and i8.shape == i.shape
+    assert np.isfinite(np.asarray(emb8)).all()
+    assert np.isfinite(np.asarray(v8)).all()
+    # composed-pipeline ranking overlap: on a tiny random model the int8
+    # error is largest relative to the score gaps, so this floor is loose;
+    # the flagship-shape recall gate lives in tpu_kernel_check e2e_int8.
+    hit = (np.asarray(i8)[:, :, None] == np.asarray(i)[:, None, :]).any(-1)
+    assert hit.mean() > 0.6, hit.mean()
