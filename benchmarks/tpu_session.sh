@@ -114,6 +114,13 @@ run e2e_apply_ax 2400 python -m ganreverser_tpu.cli.apply_r \
   --writeto "$E2E/apply_ax" --N 2048 --clusters 4 --kmeans_iters 5 \
   --needles 2 --anomalies_n 256 --batchSize 256 \
   --approx --recall_target 0.95 --compute_dtype bfloat16
+# round-5: the user-reachable int8 serving path on device (the program
+# itself is A/B'd + recall-gated by the e2e_int8 leg above)
+run e2e_apply_i8 2400 python -m ganreverser_tpu.cli.apply_r \
+  --G "$E2E/logs/adversarial" --save "$E2E/logs" \
+  --writeto "$E2E/apply_i8" --N 2048 --clusters 4 --kmeans_iters 5 \
+  --needles 2 --anomalies_n 256 --batchSize 256 \
+  --int8 --compute_dtype bfloat16
 # round-5: the Torch7 drop-in path ON DEVICE (VERDICT r4 item 6):
 # reference-layout .net files (GPU nn.Copy wrappers, full saved opt) ->
 # import_t7 -> sample + apply_r on the IMPORTED checkpoints, real chip.

@@ -106,6 +106,10 @@ def main(argv=None):
               "decoder AND the kmeans/top-k kernels) is bypassed under "
               "--mesh_data/--mesh_model>1 — sharded arrays use the "
               "lax/module paths", file=sys.stderr)
+    if cfg.int8 and use_mesh:
+        print("[apply_r] note: --int8 is bypassed under "
+              "--mesh_data/--mesh_model>1 — sharded arrays use the "
+              "lax/module paths", file=sys.stderr)
     if use_mesh:
         # N axis sharded over 'data' (SURVEY.md §5.7); with --mesh_model>1
         # the big Dense kernels (G's z->feature-map Linear, R's head) are
@@ -135,6 +139,37 @@ def main(argv=None):
                 y, _ = R_fixer.apply(v, x, train=False,
                                      rng=jax.random.fold_in(key, 5))
                 return y
+            attributes_fixer = rf_fwd(rf_vars, images)
+        else:
+            attributes_fixer = attributes
+    elif cfg.int8:
+        # EXPERIMENTAL int8 serving path (ops/quant.py): per-channel
+        # symmetric int8 weights with BN folded + dynamic per-tensor int8
+        # activations, int32 accumulation, on the measured-winner
+        # formulations (lhs-dilated G, per-layer-conv R). Approximates the
+        # bf16 rankings — the composed-pipeline recall gate is
+        # benchmarks/tpu_kernel_check.py e2e_int8. The fixer-R keeps the
+        # module path (its always-on dropout needs an rng).
+        from ..core.prng import noise_inputs
+        from ..models.fastpath import (make_fast_generator_xla_int8,
+                                       make_fast_inverter_int8)
+        batch = max(cfg.batchSize, 256)
+        fastgen = make_fast_generator_xla_int8(dims, noise_dim, dtype=dtype)
+        fastinv = make_fast_inverter_int8(dims, noise_dim, noise_method,
+                                          dtype=dtype)
+        noise = noise_inputs(jax.random.fold_in(key, 2), cfg.N, noise_dim,
+                             noise_method)
+        images = jax.jit(lambda v, z: A.forward_batched(
+            lambda b: fastgen(v, b), z, batch))(g_vars, noise)
+        attributes = jax.jit(lambda v, x: A.forward_batched(
+            lambda b: fastinv(v, b), x, batch))(r_vars, images)
+        if R_fixer is not None:
+            @jax.jit
+            def rf_fwd(v, x):
+                return A.forward_batched(
+                    lambda b: R_fixer.apply(
+                        v, b, train=False,
+                        rng=jax.random.fold_in(key, 5))[0], x, batch)
             attributes_fixer = rf_fwd(rf_vars, images)
         else:
             attributes_fixer = attributes

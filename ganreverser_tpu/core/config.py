@@ -176,6 +176,7 @@ class ApplyConfig(Config):
     pallas: bool = _f(False, "use the measured-fastest optimized paths: folded-BN + lhs-dilated fast G decoder (models/fastpath.py) and the fused Pallas kmeans/cosine-search kernels (ops/). Intended for TPU — off-TPU the kmeans/top-k kernels run in the (very slow) interpreter; ignored for the kernel sections under --mesh_data>1")
     mesh_data: int = _f(1, "shard the N-axis of generation/inversion/search over this many devices (SURVEY.md §5.7 large-N path)")
     mesh_model: int = _f(1, "tensor-parallel axis: shard G/R's big Dense kernels over this many devices (the 128x128/z=256 workload, SURVEY.md §7 step 6); composes with --mesh_data")
+    int8: bool = _f(False, "EXPERIMENTAL serving mode: run the generate+invert stage through the int8 weight+activation fast paths (models/fastpath.py int8 variants, ops/quant.py — per-channel symmetric weights with BN folded, dynamic per-tensor activations, int32 accumulation; v5e's MXU does int8 at 2x the bf16 MAC rate). Approximates the bf16 rankings — the measured composed-pipeline recall gate is benchmarks/tpu_kernel_check.py e2e_int8; the fixer-R keeps the module path (needs an rng). Ignored under --mesh_data/--mesh_model>1")
     approx: bool = _f(False, "similarity search via TPU-native approximate k-selection (jax.lax.approx_max_k; measured 17-38x on the all-N shape at recall 0.93-0.99 — RESULTS.md round 3). The reference's rankings are exact, so exact stays the default; takes precedence over --pallas for the search section (the kernels are exact)")
     recall_target: float = _f(0.95, "per-row recall target for --approx (passed to jax.lax.approx_max_k; higher = slower + more accurate). The CPU regression test pins the measured recall against the exact path (tests/test_analysis.py)")
     compute_dtype: str = _f("float32", "compute dtype: float32|bfloat16")

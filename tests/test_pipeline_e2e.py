@@ -82,6 +82,16 @@ def test_full_pipeline(workdir, trained_gan):
                   "--batchSize", "32", "--approx"])
     assert os.path.isfile(os.path.join(out_a, "similar_pixelwise_02.jpg"))
 
+    # the generate+invert stage through the int8 serving path (--int8;
+    # quality contract measured on device: tpu_kernel_check e2e_int8)
+    out_i = os.path.join(workdir, "apply_out_int8")
+    apply_r.main(["--save", save, "--G", g_ckpt, "--writeto", out_i,
+                  "--N", "250", "--clusters", "4", "--kmeans_iters", "2",
+                  "--needles", "2", "--anomalies_n", "64",
+                  "--batchSize", "32", "--int8"])
+    assert os.path.isfile(os.path.join(out_i, "similar_attributes_01.jpg"))
+    assert os.path.isfile(os.path.join(out_i, "anomalies.jpg"))
+
     # dp+tp training over the 8 virtual devices (--mesh flags)
     from ganreverser_tpu.cli import train
     train.main(["--save", os.path.join(workdir, "mesh_logs"),
