@@ -163,7 +163,7 @@ def make_e2e_program(G: Module, R: Module, *, batch_size: int = 128,
 def make_distributed_e2e_program(G: Module, R: Module, *, mesh,
                                  batch_size: int = 128, k: int = 100,
                                  needle_chunk: int = 256, g_apply=None,
-                                 approx: bool = False,
+                                 r_apply=None, approx: bool = False,
                                  recall_target: float = 0.95,
                                  pixel_k: int = 0):
     """The fused e2e pipeline sharded over the mesh's 'data' axis — the
@@ -207,7 +207,7 @@ def make_distributed_e2e_program(G: Module, R: Module, *, mesh,
             f"pipeline; got model axis {mesh.shape[MODEL_AXIS]} != 1 — "
             "use analysis/distributed.py for TP-sharded params")
     n_shards = mesh.shape[DATA_AXIS]
-    g_then_r = _g_then_r_fn(G, R, g_apply, pixel_k > 0)
+    g_then_r = _g_then_r_fn(G, R, g_apply, pixel_k > 0, r_apply)
 
     def _ring_pixel_topk(flat_local):
         """All-pairs pixel top-k via a ppermute ring over pixel blocks.

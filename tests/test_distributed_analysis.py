@@ -239,3 +239,44 @@ def test_distributed_e2e_rejects_model_axis(key):
         assert False, "expected ValueError for model axis > 1"
     except ValueError as e:
         assert "model axis" in str(e)
+
+
+def test_distributed_e2e_int8_overrides_match_single(key):
+    """The g_apply/r_apply override surface on the DISTRIBUTED fused
+    program, with the int8 serving legs (models/fastpath.py): the
+    8-shard shard_map program must reproduce the single-device int8
+    program exactly — same quantized math, same chunk boundaries
+    ((N/shards) % batch_size == 0)."""
+    from ganreverser_tpu.models.fastpath import (make_fast_generator_xla,
+                                                 make_fast_generator_xla_int8,
+                                                 make_fast_inverter_int8)
+    dims, nd, n = (3, 8, 8), 6, 64
+    G = M.create_G(dims, nd, dtype=jnp.float32)
+    R = M.create_R(dims, nd, "normal", dtype=jnp.float32)
+    gk, rk, zk = jax.random.split(key, 3)
+    gv, _ = G.init(gk, (nd,))
+    rv, _ = R.init(rk, (8, 8, 3))
+    # amplify G: random-init sigmoid outputs are near-constant, which
+    # leaves all cosine scores tied (see tests/test_quant.py)
+    gv = jax.tree.map(lambda a: a * 4.0, gv)
+    z = jax.random.normal(zk, (n, nd))
+
+    g8 = make_fast_generator_xla_int8(dims, nd, dtype=jnp.float32)
+    r8 = make_fast_inverter_int8(dims, nd, "normal", dtype=jnp.float32)
+    ga = lambda g, zc: g8(g, zc)
+    ra = lambda r, im: r8(r, im)
+
+    single = A.make_e2e_program(G, R, batch_size=8, k=4, needle_chunk=16,
+                                g_apply=ga, r_apply=ra)
+    emb_ref, v_ref, _ = single(gv, rv, z)
+
+    mesh = par.make_mesh(data=8, model=1)
+    dist = A.make_distributed_e2e_program(G, R, mesh=mesh, batch_size=8,
+                                          k=4, needle_chunk=16,
+                                          g_apply=ga, r_apply=ra)
+    emb, v, _ = dist(par.replicate(gv, mesh), par.replicate(rv, mesh),
+                     par.shard_batch(z, mesh))
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-6)
