@@ -121,6 +121,12 @@ run e2e_apply_i8 2400 python -m ganreverser_tpu.cli.apply_r \
   --writeto "$E2E/apply_i8" --N 2048 --clusters 4 --kmeans_iters 5 \
   --needles 2 --anomalies_n 256 --batchSize 256 \
   --int8 --compute_dtype bfloat16
+# round-5: serving artifact export + reload ON DEVICE (cli/export.py —
+# the artifact's tpu lowering deserializes and matches the live program)
+run e2e_export   1800 python -m ganreverser_tpu.cli.export \
+  --G "$E2E/logs/adversarial" --save "$E2E/logs" \
+  --out "$E2E/serve_invert" --what invert --batch 256 \
+  --compute_dtype bfloat16 --check
 # round-5: the Torch7 drop-in path ON DEVICE (VERDICT r4 item 6):
 # reference-layout .net files (GPU nn.Copy wrappers, full saved opt) ->
 # import_t7 -> sample + apply_r on the IMPORTED checkpoints, real chip.

@@ -4,3 +4,5 @@ from .checkpoint import (adversarial_name, exists, g_pretrained_name,
                          wait_for_saves)
 from .metrics import MetricsWriter, StepTimer, nan_guard, profiler_trace
 from .preemption import PreemptionGuard
+from .serving import (export_serving_program, load_serving_program,
+                      save_serving_program)

@@ -92,6 +92,18 @@ def test_full_pipeline(workdir, trained_gan):
     assert os.path.isfile(os.path.join(out_i, "similar_attributes_01.jpg"))
     assert os.path.isfile(os.path.join(out_i, "anomalies.jpg"))
 
+    # compile-once serving artifacts (cli/export.py): every program kind
+    # exports, reloads, and matches the live program on this backend
+    from ganreverser_tpu.cli import export as export_cli
+    for what, extra in (("invert", []), ("generate", []),
+                        ("e2e", ["--N", "64", "--k", "4"]),
+                        ("invert", ["--int8"])):
+        out_s = os.path.join(workdir, f"serve_{what}{len(extra)}")
+        export_cli.main(["--G", g_ckpt, "--save", save, "--out", out_s,
+                        "--what", what, "--batch", "16",
+                        "--platforms", "cpu", "--check"] + extra)
+        assert os.path.isfile(os.path.join(out_s, "program.stablehlo"))
+
     # dp+tp training over the 8 virtual devices (--mesh flags)
     from ganreverser_tpu.cli import train
     train.main(["--save", os.path.join(workdir, "mesh_logs"),
