@@ -24,6 +24,19 @@ run() { # run <tag> <timeout_s> <cmd...>
   echo "rc=$? tag=${tag}" | tee -a "$STATUS"
 }
 
+run_tpu() { # run, but green ONLY if the log evidences a tpu backend:
+  # bench.py degrades to CPU honestly (rc=0), which must not mark the
+  # leg ok in this ledger or the resume would skip the real measurement
+  # (observed: r05 bench_full fell to CPU mid-window, 03:01 UTC)
+  local tag=$1
+  run "$@"
+  if ok "$tag" && ! grep -q "backend tpu" \
+      "benchmarks/logs/tpu_${TAG}_${tag}.log"; then
+    sed -i "/rc=0 tag=${tag}\$/d" "$STATUS"
+    echo "rc=9 tag=${tag}" | tee -a "$STATUS"   # cpu-fallback: re-run
+  fi
+}
+
 probe_or_exit() { # cheap health gate between phases (150s-boxed matmul)
   if timeout 150 python -c "
 import jax, jax.numpy as jnp
@@ -41,20 +54,16 @@ print('OK', float((x @ x).sum()))
 # 0. is Mosaic healthy on this tunnel? (separates infra from kernel bugs)
 run probe        600  python benchmarks/tpu_pallas_probe.py
 # 1. headline bench (R inversion; picks the faster parity-tested path)
-run bench        2400 python bench.py
-# 2. full bench: all G legs + the MEASURED fused e2e program (item 2);
-#    --mesh_data 1 also times the distributed shard_map e2e on the one
-#    chip (its delta vs the plain fused program = collective-wrapping
-#    overhead, the evidence behind the x8 pod projection)
-run bench_full   3600 python bench.py --full --mesh_data 1
-# 2'. DECISION-CRITICAL round-4/5 legs run BEFORE the 2h matrix so a short
-#     tunnel window still answers the open axes (VERDICT r4 items 2-4):
-#     r_step dropout ablation -> default decision; G stage attribution ->
-#     s3 candidate A/B; conv+BN d-step probe -> keep or close.
-probe_or_exit
-run ablate       3600 python benchmarks/train_ablate.py
+run_tpu bench    2400 python bench.py
+# 2'. DECISION-CRITICAL round-4/5 legs FIRST, each a small bite: the r05
+#     tunnel gives ~13-min health windows (02:48-03:01 UTC), so the legs
+#     that answer open axes (VERDICT r4 items 2-5) must not queue behind
+#     the 30-60 min bench_full/ablate/matrix bites. Each kernel_check
+#     leg is a handful of small-program compiles.
 run g_breakdown  1800 python benchmarks/g_breakdown.py
 run s3_packed    1800 python benchmarks/tpu_kernel_check.py s3_packed
+run recall_guard 1200 python benchmarks/tpu_kernel_check.py recall_guard
+probe_or_exit
 run co64_packed  1800 python benchmarks/tpu_kernel_check.py co64_packed
 # round-5: int8 weight+activation eval paths (ops/quant.py) — v5e MXU
 # does int8 at 2x bf16; these legs answer whether XLA routes int8 convs
@@ -62,17 +71,23 @@ run co64_packed  1800 python benchmarks/tpu_kernel_check.py co64_packed
 run int8_r       1800 python benchmarks/tpu_kernel_check.py int8_r
 run int8_g       1800 python benchmarks/tpu_kernel_check.py int8_g
 run e2e_int8     2400 python benchmarks/tpu_kernel_check.py e2e_int8
+probe_or_exit
 run convbn       2400 python benchmarks/convbn_probe.py
+run ablate       3600 python benchmarks/train_ablate.py
+# 2. full bench: all G legs + the MEASURED fused e2e program (item 2);
+#    --mesh_data 1 also times the distributed shard_map e2e on the one
+#    chip (its delta vs the plain fused program = collective-wrapping
+#    overhead, the evidence behind the x8 pod projection)
+probe_or_exit
+run_tpu bench_full 3600 python bench.py --full --mesh_data 1
 # 3. the six-config matrix (training rates, inversion pipeline, refinement)
 probe_or_exit
 run matrix       7200 python benchmarks/matrix.py
 # 4. round-3: wide-D pixel-similarity selection shot (VERDICT r2 item 8)
 run pixel_topk   1800 python benchmarks/tpu_kernel_check.py pixel_topk
 # 4b. TPU-native approximate k-selection vs exact (time + measured recall)
+# (recall_guard moved to the decision-critical block above)
 run approx_topk  1800 python benchmarks/tpu_kernel_check.py approx_topk
-# 4c. round-5: REGRESSION GATE — approx recall re-pinned every session
-#     (fails rc!=0 below recall_target - margin; VERDICT r4 item 5)
-run recall_guard 1200 python benchmarks/tpu_kernel_check.py recall_guard
 # 5. training-step roofline (item 3) — one section per process: a wedged
 #    remote compile (observed live: scan program hung 30+ min at 0% CPU)
 #    then burns one small timeout instead of the whole phase
